@@ -1,0 +1,180 @@
+"""Unit tests: L1 kernels vs closed forms (SURVEY.md section 4, rung 1)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tamcmc_tpu.ops.visibilities import mode_visibility
+from tamcmc_tpu.ops.rotation import (
+    rl_polynomials, qlm, split_frequencies_a1etaa3, split_frequencies_aj,
+)
+from tamcmc_tpu.ops.noise import harvey_like, noise_background
+from tamcmc_tpu.ops.lorentzian import lorentzian_profile, sum_lorentzians
+from tamcmc_tpu.stats.likelihoods import likelihood_chi22p, likelihood_chi_square
+
+
+class TestVisibilities:
+    @pytest.mark.parametrize("l", [0, 1, 2, 3])
+    @pytest.mark.parametrize("inc_deg", [0.0, 30.0, 45.0, 60.0, 90.0])
+    def test_normalisation(self, l, inc_deg):
+        eps = mode_visibility(l, jnp.deg2rad(inc_deg))
+        assert eps.shape == (2 * l + 1,)
+        np.testing.assert_allclose(float(jnp.sum(eps)), 1.0, rtol=1e-5)
+
+    def test_pole_on_view(self):
+        # i=0: only m=0 visible
+        for l in (1, 2, 3):
+            eps = np.asarray(mode_visibility(l, 0.0))
+            assert eps[l] == pytest.approx(1.0, rel=1e-6)
+            assert np.all(np.delete(eps, l) < 1e-10)
+
+    def test_l1_closed_form(self):
+        i = jnp.deg2rad(37.0)
+        eps = np.asarray(mode_visibility(1, i))
+        c, s = np.cos(float(i)), np.sin(float(i))
+        np.testing.assert_allclose(eps, [0.5 * s**2, c**2, 0.5 * s**2], rtol=1e-6)
+
+    def test_differentiable_in_inclination(self):
+        g = jax.grad(lambda i: mode_visibility(2, i)[2])(0.7)
+        assert np.isfinite(float(g))
+
+
+class TestRotation:
+    def test_rl_p1_is_m(self):
+        for l in (1, 2, 3):
+            P = rl_polynomials(l)
+            m = np.arange(-l, l + 1)
+            np.testing.assert_allclose(P[0], m, atol=1e-12)
+
+    def test_rl_p2_closed_form(self):
+        # P2(m) = l*(3m^2 - l(l+1)) / (3l^2 - l(l+1))
+        for l in (1, 2, 3):
+            P = rl_polynomials(l)
+            m = np.arange(-l, l + 1)
+            expect = l * (3 * m**2 - l * (l + 1)) / (3 * l**2 - l * (l + 1))
+            np.testing.assert_allclose(P[1], expect, atol=1e-10)
+
+    def test_rl_normalisation_and_orthogonality(self):
+        l = 3
+        P = rl_polynomials(l)
+        for j in range(1, 2 * l + 1):
+            assert P[j - 1][-1] == pytest.approx(l)
+        # discrete orthogonality over m
+        for a in range(6):
+            for b in range(a + 1, 6):
+                assert abs(np.dot(P[a], P[b])) < 1e-8
+
+    def test_qlm_traceless(self):
+        for l in (1, 2, 3):
+            assert np.sum(qlm(l)) == pytest.approx(0.0, abs=1e-12)
+
+    def test_a1_splitting_linear(self):
+        nus = split_frequencies_a1etaa3(1, 1000.0, a1=0.5, eta0=0.0, a3=0.0)
+        np.testing.assert_allclose(np.asarray(nus), [999.5, 1000.0, 1000.5],
+                                   rtol=1e-6)
+
+    def test_aj_matches_a1etaa3_when_only_a1(self):
+        aj = np.zeros(6); aj[0] = 0.4
+        got = split_frequencies_aj(2, 2000.0, jnp.asarray(aj, dtype=jnp.float32))
+        want = split_frequencies_a1etaa3(2, 2000.0, a1=0.4, eta0=0.0, a3=0.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    def test_centrifugal_term_sign(self):
+        # eta0 > 0 raises m=0 for l=1 (Q_10 > 0) and lowers m=+-1 (Q_1,+-1 < 0)
+        nus = np.asarray(split_frequencies_a1etaa3(
+            1, 3000.0, a1=5.0, eta0=2.5e6, a3=0.0))
+        assert nus[1] > 3000.0                       # m=0 pushed up
+        assert nus[2] - 3000.0 < 5.0                 # m=+1 gets 5.0 - |cf|
+        assert (nus[2] - nus[0]) / 2 == pytest.approx(5.0, rel=1e-5)
+
+
+class TestNoise:
+    def test_harvey_closed_form(self):
+        nu = jnp.asarray([10.0, 100.0, 1000.0])
+        got = np.asarray(harvey_like(nu, 5.0, 0.01, 2.0))
+        want = 5.0 / (1.0 + (0.01 * np.asarray(nu)) ** 2)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_inactive_component_is_zero(self):
+        nu = jnp.linspace(1, 100, 8)
+        assert np.all(np.asarray(harvey_like(nu, -1.0, 0.01, 2.0)) == 0.0)
+
+    def test_background_white_floor(self):
+        nu = jnp.linspace(1000.0, 4000.0, 16)
+        p = jnp.asarray([-1, -1, 2, -1, -1, 2, -1, -1, 2, 0.7],
+                        dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(noise_background(nu, p)), 0.7,
+                                   rtol=1e-6)
+
+    def test_background_gradient_finite(self):
+        nu = jnp.linspace(100.0, 4000.0, 64)
+        p = jnp.asarray([10.0, 0.005, 4.0, 3.0, 0.002, 2.0, -1, -1, 2, 0.5])
+        g = jax.grad(lambda q: jnp.sum(noise_background(nu, q)))(p)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestLorentzian:
+    def test_peak_height_and_hwhm(self):
+        nu = jnp.asarray([1000.0, 1000.5, 999.5])
+        prof = np.asarray(lorentzian_profile(nu, 10.0, 1000.0, 1.0))
+        np.testing.assert_allclose(prof, [10.0, 5.0, 5.0], rtol=1e-6)
+
+    def test_asymmetry_skews(self):
+        nu0, w = 1000.0, 2.0
+        lo = float(lorentzian_profile(nu0 - w, 1.0, nu0, w, asym=0.1))
+        hi = float(lorentzian_profile(nu0 + w, 1.0, nu0, w, asym=0.1))
+        assert hi > lo  # positive asym pushes power to high frequencies
+
+    def test_sum_matches_loop(self):
+        rng = np.random.default_rng(0)
+        nu = jnp.linspace(900.0, 1100.0, 501)
+        H = rng.uniform(1, 5, 7); C = rng.uniform(950, 1050, 7)
+        W = rng.uniform(0.5, 3, 7); B = rng.uniform(-0.05, 0.05, 7)
+        got = np.asarray(sum_lorentzians(nu, jnp.asarray(H, dtype=jnp.float32),
+                                         jnp.asarray(C, dtype=jnp.float32),
+                                         jnp.asarray(W, dtype=jnp.float32),
+                                         jnp.asarray(B, dtype=jnp.float32)))
+        want = sum(np.asarray(lorentzian_profile(nu, h, c, w, b))
+                   for h, c, w, b in zip(H, C, W, B))
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    def test_zero_height_padding(self):
+        nu = jnp.linspace(0.0, 10.0, 11)
+        out = sum_lorentzians(nu, jnp.zeros(3), jnp.ones(3) * 5, jnp.ones(3),
+                              jnp.zeros(3))
+        assert np.all(np.asarray(out) == 0.0)
+
+
+class TestLikelihoods:
+    def test_chi22p_value(self):
+        S = jnp.asarray([1.0, 2.0, 3.0])
+        M = jnp.asarray([1.5, 1.5, 1.5])
+        want = -np.sum(np.log(1.5) + np.asarray(S) / 1.5)
+        assert float(likelihood_chi22p(S, M)) == pytest.approx(want, rel=1e-4)
+
+    def test_chi22p_maximised_at_truth(self):
+        # E[logL] is maximised when M == E[S]; check on a fine grid
+        rng = np.random.default_rng(1)
+        truth = 2.0
+        S = jnp.asarray(rng.exponential(truth, 20000), dtype=jnp.float32)
+        scales = np.linspace(1.0, 4.0, 61)
+        lls = [float(likelihood_chi22p(S, jnp.full_like(S, s))) for s in scales]
+        best = scales[int(np.argmax(lls))]
+        assert abs(best - truth) < 0.15
+
+    def test_chi_square_value(self):
+        S = jnp.asarray([1.0, 2.0]); M = jnp.asarray([0.0, 0.0])
+        sig = jnp.asarray([1.0, 2.0])
+        assert float(likelihood_chi_square(S, M, sig)) == pytest.approx(-1.0)
+
+    def test_mask(self):
+        S = jnp.asarray([1.0, 100.0]); M = jnp.asarray([1.0, 1.0])
+        mask = jnp.asarray([1.0, 0.0])
+        full = float(likelihood_chi22p(S[:1], M[:1]))
+        assert float(likelihood_chi22p(S, M, mask)) == pytest.approx(full)
+
+    def test_gradient_wrt_model(self):
+        S = jnp.asarray([2.0]);
+        g = float(jax.grad(lambda m: likelihood_chi22p(S, m))(jnp.asarray([2.0])) [0])
+        # d/dM [-(ln M + S/M)] = -1/M + S/M^2 = 0 at M=S
+        assert g == pytest.approx(0.0, abs=1e-6)
