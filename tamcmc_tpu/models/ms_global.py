@@ -1,0 +1,102 @@
+"""MS Global model family — the flagship "peak bagging" models.
+
+Reference equivalents (`models.cpp` [U]; SURVEY.md section 2):
+  model_MS_Global_a1etaa3_HarveyLike   -> "MS_Global_a1etaa3_HarveyLike"
+  model_MS_Global_a1etaa3_HarveyLike_Classic (same math here)
+  model_MS_Global_aj_HarveyLike        -> "MS_Global_aj_HarveyLike"
+
+Block ABI (BlockLayout; order mirrors the reference's plength blocks [U]):
+  heights   (N0,)       mode heights at the l=0 frequencies [ppm^2/uHz]
+  visibilities (lmax,)  V^2 for l=1..lmax
+  freq_l0..freq_l3      per-l mode frequencies [uHz] (size 0 blocks allowed)
+  rot                   a1etaa3: [a1, eta0_switch, a3, asym]
+                        aj:      [a1..a6, eta0_switch, asym]
+  widths    (N0,)       mode widths at the l=0 frequencies [uHz]
+  noise     (3*nh+1,)   Harvey components + white noise
+  inclination (1,)      stellar inclination [rad internally; deg at IO edge]
+  trunc     (1,)        reference's Lorentzian truncation parameter c —
+                        ABI-only here (dense evaluation has no windows)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from tamcmc_tpu.utils.blocks import BlockLayout
+from tamcmc_tpu.utils.constants import eta0_from_dnu, G_CGS, RHO_SUN, DNU_SUN
+from tamcmc_tpu.ops.lorentzian import sum_lorentzians
+from tamcmc_tpu.ops.noise import noise_background
+from tamcmc_tpu.models.common import (
+    assemble_components_a1etaa3, assemble_components_aj, dnu_from_freqs,
+)
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class MSGlobalSpec:
+    """Static structure of an MS-Global problem (fixes all shapes)."""
+    n_per_l: tuple          # e.g. (13, 13, 13, 0) — mode counts for l=0..3
+    n_harvey: int = 3
+    rotation: str = "a1etaa3"   # or "aj"
+
+    @property
+    def lmax(self):
+        return max(l for l, n in enumerate(self.n_per_l) if n > 0 or l == 0)
+
+    def layout(self) -> BlockLayout:
+        rot_size = 4 if self.rotation == "a1etaa3" else 8
+        spec = [("heights", self.n_per_l[0]),
+                ("visibilities", max(self.lmax, 1) if self.lmax >= 1 else 0)]
+        for l in range(4):
+            spec.append((f"freq_l{l}",
+                         self.n_per_l[l] if l < len(self.n_per_l) else 0))
+        spec += [("rot", rot_size),
+                 ("widths", self.n_per_l[0]),
+                 ("noise", 3 * self.n_harvey + 1),
+                 ("inclination", 1),
+                 ("trunc", 1)]
+        return BlockLayout.make(spec)
+
+
+def _eta0_ingraph(f0, switch):
+    """eta0 [s^2] from the in-graph Dnu scaling when switch > 0.5, else 0.
+    eta0 = 3*pi/(G * rho_sun * (Dnu/Dnu_sun)^2)."""
+    dnu = dnu_from_freqs(f0)
+    eta0 = 3.0 * math.pi / (G_CGS * RHO_SUN) * (DNU_SUN / dnu) ** 2
+    return jnp.where(switch > 0.5, eta0, 0.0)
+
+
+def build_ms_global(spec: MSGlobalSpec):
+    """Return (model_fn, layout): model_fn(params, nu) -> spectrum (N,)."""
+    layout = spec.layout()
+    n_per_l = tuple(spec.n_per_l) + (0,) * (4 - len(spec.n_per_l))
+
+    def model_fn(params, nu):
+        heights = layout.get(params, "heights")
+        widths = layout.get(params, "widths")
+        vis = layout.get(params, "visibilities")
+        freqs_per_l = [layout.get(params, f"freq_l{l}") for l in range(4)
+                       if n_per_l[l] > 0 or l == 0]
+        rot = layout.get(params, "rot")
+        noise = layout.get(params, "noise")
+        inc = layout.get(params, "inclination")[..., 0]
+
+        if spec.rotation == "a1etaa3":
+            a1, sw, a3, asym = rot[..., 0], rot[..., 1], rot[..., 2], rot[..., 3]
+            eta0 = _eta0_ingraph(freqs_per_l[0], sw)
+            H, C, W, B = assemble_components_a1etaa3(
+                freqs_per_l, heights, widths, vis, inc, a1, eta0, a3, asym)
+        else:
+            aj = rot[..., 0:6]
+            sw, asym = rot[..., 6], rot[..., 7]
+            eta0 = _eta0_ingraph(freqs_per_l[0], sw)
+            H, C, W, B = assemble_components_aj(
+                freqs_per_l, heights, widths, vis, inc, aj, eta0, asym)
+
+        modes = sum_lorentzians(nu, H, C, W, B)
+        bg = noise_background(nu, noise, n_harvey=spec.n_harvey)
+        return modes + bg
+
+    return model_fn, layout

@@ -1,0 +1,71 @@
+"""Model registry: reference model names -> builder functions.
+
+Replaces the reference's string dispatch inside the sampler loop
+(`Model_def::call_model`, `models.cpp` [U]) with *trace-time* resolution:
+`build_model(name, spec)` returns a pure jnp `model_fn(params, nu)` plus its
+BlockLayout; nothing stringly-typed survives into jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from tamcmc_tpu.models.ms_global import MSGlobalSpec, build_ms_global
+from tamcmc_tpu.models.local import MSLocalSpec, build_ms_local
+from tamcmc_tpu.models.test_models import (
+    TestGaussianSpec, build_test_gaussian,
+    HarveyGaussianSpec, build_harvey_gaussian,
+    SingleLorentzianSpec, build_single_lorentzian,
+    HarveyBackgroundSpec, build_harvey_background,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelFamily:
+    name: str
+    spec_cls: type
+    builder: object
+    doc: str = ""
+
+
+_FAMILIES = {}
+
+
+def _register(name, spec_cls, builder, doc=""):
+    _FAMILIES[name.lower()] = ModelFamily(name, spec_cls, builder, doc)
+
+
+_register("model_MS_Global_a1etaa3_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(spec),
+          "global p-mode fit, a1/eta0/a3 rotation, Harvey-like background")
+_register("model_MS_Global_aj_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(dataclasses.replace(spec, rotation="aj")),
+          "global p-mode fit, a1..a6 a-coefficients, Harvey-like background")
+_register("model_MS_local_basic", MSLocalSpec, build_ms_local,
+          "windowed local fit, per-mode free parameters")
+_register("model_Test_Gaussian", TestGaussianSpec, build_test_gaussian,
+          "Gaussian bump + white noise (sampler smoke test)")
+_register("model_Harvey_Gaussian", HarveyGaussianSpec, build_harvey_gaussian,
+          "Harvey profile + Gaussian envelope")
+_register("model_Single_Lorentzian", SingleLorentzianSpec,
+          build_single_lorentzian, "BASELINE config 1")
+_register("model_Harvey_Background", HarveyBackgroundSpec,
+          build_harvey_background, "BASELINE config 2 noise-background fit")
+
+
+def list_models():
+    return sorted(f.name for f in _FAMILIES.values())
+
+
+def build_model(name: str, spec=None, **spec_kwargs):
+    """Build (model_fn, layout) for a named family.
+
+    Either pass a ready spec dataclass, or kwargs for the family's spec class.
+    """
+    key = name.strip().lower()
+    if key not in _FAMILIES:
+        raise KeyError(f"unknown model '{name}'; have {list_models()}")
+    fam = _FAMILIES[key]
+    if spec is None:
+        spec = fam.spec_cls(**spec_kwargs)
+    return fam.builder(spec)

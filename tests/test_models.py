@@ -1,0 +1,167 @@
+"""Unit tests: model library (L2) — shapes, physics sanity, differentiability,
+vmap-over-chains batching."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tamcmc_tpu.models import build_model, list_models
+from tamcmc_tpu.models.ms_global import MSGlobalSpec
+from tamcmc_tpu.models.local import MSLocalSpec
+from tamcmc_tpu.utils.blocks import BlockLayout
+
+
+def make_ms_global_params(layout, n_per_l, seed=0):
+    rng = np.random.default_rng(seed)
+    p = np.zeros(layout.ndim, dtype=np.float64)
+    n0 = n_per_l[0]
+    f0 = np.linspace(2000.0, 2000.0 + 100.0 * (n0 - 1), n0)
+    lay = dict(zip(layout.names, layout.sizes))
+    p[layout.offset("heights"):layout.offset("heights") + n0] = rng.uniform(3, 8, n0)
+    vis_sz = layout.size("visibilities")
+    p[layout.offset("visibilities"):layout.offset("visibilities") + vis_sz] = \
+        [1.5, 0.53, 0.07][:vis_sz]
+    for l in range(4):
+        nl = layout.size(f"freq_l{l}")
+        if nl == 0:
+            continue
+        # standard asymptotic offsets: l=1 at +Dnu/2, l=2 at -small sep
+        off = {0: 0.0, 1: 50.0, 2: -8.0, 3: 42.0}[l]
+        p[layout.offset(f"freq_l{l}"):layout.offset(f"freq_l{l}") + nl] = \
+            (f0[:nl] + off)
+    ro = layout.offset("rot")
+    if layout.size("rot") == 4:
+        p[ro:ro + 4] = [1.0, 1.0, 0.01, 0.02]       # a1, eta_sw, a3, asym
+    else:
+        p[ro:ro + 8] = [1.0, 0, 0.01, 0, 0, 0, 1.0, 0.02]
+    p[layout.offset("widths"):layout.offset("widths") + n0] = rng.uniform(1, 3, n0)
+    p[layout.offset("noise"):layout.offset("noise") + layout.size("noise")] = \
+        [10.0, 5e-4, 4.0, 3.0, 2e-4, 2.0, -1, -1, 2.0, 0.4]
+    p[layout.offset("inclination")] = np.deg2rad(45.0)
+    p[layout.offset("trunc")] = 40.0
+    return jnp.asarray(p, dtype=jnp.float32)
+
+
+class TestBlockLayout:
+    def test_offsets_and_names(self):
+        lay = BlockLayout.make([("a", 2), ("b", 1), ("c", 3)])
+        assert lay.ndim == 6
+        assert lay.offset("c") == 3
+        assert lay.param_names() == ["a_0", "a_1", "b", "c_0", "c_1", "c_2"]
+
+    def test_get_slices_batched(self):
+        lay = BlockLayout.make([("a", 2), ("b", 1)])
+        x = jnp.arange(12.0).reshape(4, 3)
+        np.testing.assert_array_equal(np.asarray(lay.get(x, "b")),
+                                      np.asarray(x[:, 2:3]))
+
+
+class TestRegistry:
+    def test_lists_reference_families(self):
+        names = list_models()
+        assert "model_MS_Global_a1etaa3_HarveyLike" in names
+        assert "model_Test_Gaussian" in names
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            build_model("model_not_a_thing")
+
+
+class TestMSGlobal:
+    spec = MSGlobalSpec(n_per_l=(3, 3, 3, 0))
+
+    def test_spectrum_positive_and_peaky(self):
+        fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", self.spec)
+        p = make_ms_global_params(layout, self.spec.n_per_l)
+        nu = jnp.linspace(1900.0, 2350.0, 2048)
+        m = np.asarray(jax.jit(fn)(p, nu))
+        assert np.all(m > 0)
+        # peak near each l=0 frequency
+        for f in (2000.0, 2100.0, 2200.0):
+            i = np.argmin(np.abs(np.asarray(nu) - f))
+            assert m[i] > 3.0  # height >> background
+
+    def test_visibility_scaling_of_l1(self):
+        fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", self.spec)
+        p = make_ms_global_params(layout, self.spec.n_per_l)
+        nu = jnp.linspace(2040.0, 2060.0, 512)
+        m1 = np.asarray(fn(p, nu)).max()
+        p2 = p.at[layout.offset("visibilities")].set(0.0)  # kill l=1
+        m2 = np.asarray(fn(p2, nu)).max()
+        # killing V^2_l1 removes the l=1 peak; l=0 wings remain underneath
+        assert m1 > m2 + 2.0
+
+    def test_grad_finite_wrt_all_params(self):
+        fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", self.spec)
+        p = make_ms_global_params(layout, self.spec.n_per_l)
+        nu = jnp.linspace(1900.0, 2350.0, 512)
+        g = jax.grad(lambda q: jnp.sum(fn(q, nu)))(p)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_vmap_over_chains(self):
+        fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", self.spec)
+        p = make_ms_global_params(layout, self.spec.n_per_l)
+        batch = jnp.stack([p, p * 1.01, p * 0.99])
+        nu = jnp.linspace(1900.0, 2350.0, 256)
+        out = jax.vmap(lambda q: fn(q, nu))(batch)
+        assert out.shape == (3, 256)
+
+    def test_aj_family_consistent_with_a1etaa3(self):
+        """a1-only aj model == a1etaa3 with a3=0, same eta switch."""
+        fn_a, lay_a = build_model("model_MS_Global_a1etaa3_HarveyLike", self.spec)
+        fn_j, lay_j = build_model("model_MS_Global_aj_HarveyLike", self.spec)
+        pa = make_ms_global_params(lay_a, self.spec.n_per_l)
+        ra = lay_a.offset("rot")
+        pa = pa.at[ra + 2].set(0.0).at[ra + 3].set(0.0)  # a3=0, asym=0
+        pj = make_ms_global_params(lay_j, self.spec.n_per_l)
+        rj = lay_j.offset("rot")
+        pj = pj.at[rj:rj + 8].set(jnp.asarray([1.0, 0, 0, 0, 0, 0, 1.0, 0.0]))
+        nu = jnp.linspace(1900.0, 2350.0, 1024)
+        np.testing.assert_allclose(np.asarray(fn_a(pa, nu)),
+                                   np.asarray(fn_j(pj, nu)), rtol=2e-4)
+
+
+class TestMSLocal:
+    def test_local_modes(self):
+        spec = MSLocalSpec(n_per_l=(1, 1, 0, 0))
+        fn, layout = build_model("model_MS_local_basic", spec)
+        p = np.zeros(layout.ndim, dtype=np.float32)
+        p[layout.offset("height_l0")] = 5.0
+        p[layout.offset("height_l1")] = 4.0
+        p[layout.offset("freq_l0")] = 2000.0
+        p[layout.offset("freq_l1")] = 2050.0
+        p[layout.offset("width_l0")] = 1.0
+        p[layout.offset("width_l1")] = 1.0
+        p[layout.offset("rot")] = 0.8          # a1
+        p[layout.offset("noise")] = 0.3
+        p[layout.offset("inclination")] = np.deg2rad(90.0)
+        nu = jnp.linspace(1990.0, 2060.0, 4096)
+        m = np.asarray(fn(jnp.asarray(p), nu))
+        i0 = np.argmin(np.abs(np.asarray(nu) - 2000.0))
+        assert m[i0] == pytest.approx(5.3, rel=0.01)
+        # i=90deg: l=1 m=0 invisible, +-1 split by a1
+        ip = np.argmin(np.abs(np.asarray(nu) - 2050.8))
+        im = np.argmin(np.abs(np.asarray(nu) - 2050.0))
+        assert m[ip] > m[im]
+
+
+class TestSmokeModels:
+    def test_single_lorentzian(self):
+        fn, layout = build_model("model_Single_Lorentzian")
+        p = jnp.asarray([10.0, 500.0, 2.0, 1.0])
+        nu = jnp.linspace(490.0, 510.0, 101)
+        m = np.asarray(fn(p, nu))
+        assert m.max() == pytest.approx(11.0, rel=1e-3)
+        assert m[0] < 1.2
+
+    def test_harvey_gaussian(self):
+        fn, layout = build_model("model_Harvey_Gaussian")
+        p = jnp.asarray([100.0, 0.01, 2.0, 0.5, 10.0, 300.0, 30.0])
+        nu = jnp.linspace(1.0, 600.0, 600)
+        m = np.asarray(fn(p, nu))
+        i = np.argmin(np.abs(np.asarray(nu) - 300.0))
+        assert m[i] > 10.0  # bump on top of background
+
+    def test_harvey_background(self):
+        fn, layout = build_model("model_Harvey_Background")
+        assert layout.ndim == 10
