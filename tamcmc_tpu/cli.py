@@ -1,0 +1,255 @@
+"""tamcmc CLI — run / export / model-eval / stats / list-models.
+
+Reference equivalent: the `cpptamcmc` executable plus the post-processing
+tools (`main.cpp`, `tools/bin2txt`, `tools/getmodel` [U]; SURVEY.md
+sections 2, 3).  Workflow verbs:
+
+  run         execute a fit (demo problem or TOML problem file), with the
+              B/L/A phase machine, streamed binary outputs, checkpointing,
+              and a matplotlib report        (= cpptamcmc execute)
+  export      binary samples -> ASCII table  (= tools/bin2txt)
+  model-eval  params -> model spectrum file  (= tools/getmodel)
+  stats       posterior summary table        (= tools/stats, TAMCMC-tools)
+  list-models print the model registry
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+# Compiles are the scarce resource in dev environments; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+
+def _build_problem(args):
+    import jax.numpy as jnp
+    from tamcmc_tpu.demos import make_demo
+    if args.demo:
+        return make_demo(args.demo, seed=args.seed)
+    if args.problem:
+        from tamcmc_tpu.io.problemfile import read_problem_file
+        from tamcmc_tpu.io.data import read_spectrum
+        from tamcmc_tpu.models import build_model
+        from tamcmc_tpu.sampler.problem import Problem
+        from tamcmc_tpu.sampler.state import MALAHyper
+        from tamcmc_tpu.sampler.driver import PhasePlan
+        cfg = read_problem_file(args.problem)
+        fn, layout = build_model(cfg["model"], **cfg["spec_kwargs"])
+        data_path = cfg["data"]
+        if not pathlib.Path(data_path).is_absolute():
+            data_path = str(pathlib.Path(args.problem).parent / data_path)
+        d = read_spectrum(data_path)
+        nu = jnp.asarray(d["nu"], jnp.float32)
+        spec = jnp.asarray(d["power"], jnp.float32)
+        mask = None
+        if cfg["freq_range"]:
+            lo, hi = cfg["freq_range"]
+            mask = jnp.asarray((d["nu"] >= lo) & (d["nu"] <= hi), jnp.float32)
+        sigma = (jnp.asarray(d["sigma"], jnp.float32)
+                 if "sigma" in d and cfg["likelihood"] == "chi_square" else None)
+        problem = Problem(model_fn=fn, layout=layout, priors=cfg["priors"],
+                          nu=nu, spec=spec,
+                          params0=jnp.asarray(cfg["params0"], jnp.float32),
+                          likelihood=cfg["likelihood"], sigma_spec=sigma,
+                          mask=mask)
+        hp = MALAHyper()
+        plan = PhasePlan(burnin=args.burnin or 2000,
+                         learning=args.learning or 10000,
+                         acquire=args.acquire or 20000,
+                         thin=args.thin or 10)
+        return problem, hp, plan, {"n_temps": args.temps or 6,
+                                   "n_chains": args.chains or 4}
+    raise SystemExit("run: provide --demo NAME or --problem FILE")
+
+
+def cmd_run(args):
+    import jax
+    import jax.numpy as jnp
+    from tamcmc_tpu.sampler import init_state, make_beta_ladder, run_phase
+    from tamcmc_tpu.io.outputs import OutputWriter
+    from tamcmc_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+    from tamcmc_tpu.diagnostics.summary import posterior_summary, format_summary
+
+    problem, hp, plan, meta = _build_problem(args)
+    n_temps = args.temps or meta.get("n_temps", 6)
+    n_chains = args.chains or meta.get("n_chains", 4)
+    if args.burnin is not None:
+        plan = __import__("dataclasses").replace(plan, burnin=args.burnin)
+    if args.learning is not None:
+        plan = __import__("dataclasses").replace(plan, learning=args.learning)
+    if args.acquire is not None:
+        plan = __import__("dataclasses").replace(plan, acquire=args.acquire)
+    if args.thin is not None:
+        plan = __import__("dataclasses").replace(plan, thin=args.thin)
+
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    betas = make_beta_ladder(n_temps, hp.lambda_temp)
+    key = jax.random.PRNGKey(args.seed)
+
+    ckpt = outdir / "restore.npz"
+    done_phases = []
+    if args.resume and ckpt.exists():
+        state, key, last_phase, _ = load_checkpoint(str(ckpt))
+        order = ["B", "L", "A"]
+        done_phases = order[:order.index(last_phase) + 1] if last_phase in order else []
+        print(f"resumed from {ckpt} after phase {last_phase}")
+    else:
+        key, sub = jax.random.split(key)
+        state = init_state(problem, hp, n_temps, n_chains, sub)
+
+    writer = OutputWriter(str(outdir), problem.free_names, n_temps, n_chains)
+    results = {}
+    t0 = time.time()
+    for name, n_steps, adapt in plan.phases():
+        if n_steps <= 0 or name in done_phases:
+            continue
+        key, sub = jax.random.split(key)
+        tp = time.time()
+        state, outs = run_phase(
+            problem, hp, betas, state, sub, n_steps, adapt=adapt,
+            thin=plan.thin, chunk=plan.chunk,
+            on_chunk=lambda o, _n=name: writer.append_chunk(_n, o))
+        writer.finalize_phase(name)
+        results[name] = outs
+        save_checkpoint(str(ckpt), state, key, phase=name)
+        dt = time.time() - tp
+        acc = float(np.asarray(state.acc_rate)[0])
+        print(f"phase {name}: {n_steps} steps in {dt:.1f}s "
+              f"({n_steps / dt:.0f} it/s), cold acc={acc:.3f}")
+    writer.close()
+
+    phase = "A" if "A" in results else (list(results)[-1] if results else None)
+    if phase:
+        th = results[phase]["theta0"]
+        rows = posterior_summary(th, names=problem.free_names)
+        print(format_summary(rows, max_rows=args.max_rows))
+        with open(outdir / "summary.json", "w") as f:
+            json.dump(rows, f, indent=1)
+        if not args.no_report:
+            from tamcmc_tpu.diagnostics.report import write_report
+            model_med = None
+            if hasattr(problem, "nu"):
+                med = jnp.asarray(np.median(th.reshape(-1, th.shape[-1]), axis=0),
+                                  jnp.float32)
+                full = problem.embed(med)
+                model_med = np.asarray(jax.jit(problem.model_fn)(full, problem.nu))
+            made = write_report(outdir, results, problem=problem,
+                                names=problem.free_names,
+                                model_at_median=model_med)
+            print(f"report artifacts: {', '.join(made)}")
+    print(f"total wall time {time.time() - t0:.1f}s; outputs in {outdir}")
+
+
+def cmd_export(args):
+    from tamcmc_tpu.io.outputs import read_bin_samples
+    samples, names = read_bin_samples(args.outdir, args.phase)
+    samples = samples[::args.thin]
+    if args.range:
+        lo, hi = (int(x) for x in args.range.split(":"))
+        samples = samples[lo:hi]
+    out = args.out or f"{args.outdir}/{args.phase}_samples.txt"
+    np.savetxt(out, samples, header=" ".join(names))
+    print(f"wrote {samples.shape[0]} x {samples.shape[1]} samples to {out}")
+
+
+def cmd_model_eval(args):
+    import jax
+    import jax.numpy as jnp
+    problem, hp, plan, meta = _build_problem(args)
+    if args.params:
+        params = np.loadtxt(args.params)
+        full = jnp.asarray(params, jnp.float32)
+        if params.shape[0] == problem.ndim_free:
+            full = problem.embed(jnp.asarray(params, jnp.float32))
+    else:
+        full = problem.params0
+    model = np.asarray(jax.jit(problem.model_fn)(full, problem.nu))
+    out = args.out or "model_eval.txt"
+    np.savetxt(out, np.column_stack([np.asarray(problem.nu),
+                                     np.asarray(problem.spec), model]),
+               header="frequency_uHz data_power model_power")
+    print(f"wrote model spectrum ({model.shape[0]} bins) to {out}")
+
+
+def cmd_stats(args):
+    from tamcmc_tpu.io.outputs import read_bin_samples
+    from tamcmc_tpu.diagnostics.summary import posterior_summary, format_summary
+    samples, names = read_bin_samples(args.outdir, args.phase)
+    rows = posterior_summary(samples, names=names)
+    print(format_summary(rows, max_rows=args.max_rows))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+def cmd_list_models(args):
+    from tamcmc_tpu.models import list_models
+    for m in list_models():
+        print(m)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tamcmc",
+                                 description="TPU-native TAMCMC peak-bagging engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_problem_args(p):
+        p.add_argument("--demo", help="built-in demo problem name")
+        p.add_argument("--problem", help="TOML problem file")
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--temps", type=int)
+        p.add_argument("--chains", type=int)
+        p.add_argument("--burnin", type=int)
+        p.add_argument("--learning", type=int)
+        p.add_argument("--acquire", type=int)
+        p.add_argument("--thin", type=int)
+
+    pr = sub.add_parser("run", help="execute a fit (B/L/A phases)")
+    add_problem_args(pr)
+    pr.add_argument("--outdir", required=True)
+    pr.add_argument("--resume", action="store_true")
+    pr.add_argument("--no-report", action="store_true")
+    pr.add_argument("--max-rows", type=int, default=40)
+    pr.set_defaults(fn=cmd_run)
+
+    pe = sub.add_parser("export", help="binary samples -> ASCII (bin2txt)")
+    pe.add_argument("--outdir", required=True)
+    pe.add_argument("--phase", default="A")
+    pe.add_argument("--thin", type=int, default=1)
+    pe.add_argument("--range", help="lo:hi record range")
+    pe.add_argument("--out")
+    pe.set_defaults(fn=cmd_export)
+
+    pm = sub.add_parser("model-eval", help="params -> model spectrum (getmodel)")
+    add_problem_args(pm)
+    pm.add_argument("--params", help="ASCII parameter vector file")
+    pm.add_argument("--out")
+    pm.set_defaults(fn=cmd_model_eval)
+
+    ps = sub.add_parser("stats", help="posterior summary (quantiles, ESS)")
+    ps.add_argument("--outdir", required=True)
+    ps.add_argument("--phase", default="A")
+    ps.add_argument("--max-rows", type=int, default=60)
+    ps.add_argument("--json")
+    ps.set_defaults(fn=cmd_stats)
+
+    pl = sub.add_parser("list-models", help="print model registry")
+    pl.set_defaults(fn=cmd_list_models)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

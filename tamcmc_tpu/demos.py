@@ -1,0 +1,170 @@
+"""Built-in demo problems — the BASELINE.json config ladder.
+
+Each demo builds a synthetic problem whose data are generated FROM the model
+itself (chi^2 2-d.o.f. multiplicative noise for raw periodograms), so
+posterior recovery of the injected truth validates the whole pipeline —
+the validation style of the reference's shipped example setups
+(SURVEY.md section 4).
+
+  single_lorentzian  — BASELINE config 1 (CPU-runnable smoke)
+  harvey_background  — config 2 (smoothed spectrum, Gaussian likelihood)
+  ms_global          — config 3 (l=0,1,2 with a1 + inclination)
+  kepler_full        — config 4 (dozens of modes, 10+ temperatures)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tamcmc_tpu.models import build_model
+from tamcmc_tpu.models.ms_global import MSGlobalSpec
+from tamcmc_tpu.stats.priors import PriorTable
+from tamcmc_tpu.sampler.problem import Problem
+from tamcmc_tpu.sampler.state import MALAHyper
+from tamcmc_tpu.sampler.driver import PhasePlan
+
+
+def _chi2_noise(key, model):
+    return model * jax.random.exponential(key, model.shape)
+
+
+def make_demo(name: str, seed: int = 0):
+    """Returns (problem, hp, plan, meta) — meta includes truth params."""
+    key = jax.random.PRNGKey(seed)
+    name = name.lower()
+    if name == "single_lorentzian":
+        fn, layout = build_model("model_Single_Lorentzian")
+        nu = jnp.linspace(10.0, 90.0, 8192)
+        truth = jnp.asarray([12.0, 50.0, 2.0, 1.0])
+        model = fn(truth, nu)
+        spec = _chi2_noise(key, model)
+        priors = PriorTable.from_rows([
+            ("H", "jeffreys", 0.5, 100.0),
+            ("nu0", "uniform", 30.0, 70.0),
+            ("width", "jeffreys", 0.2, 20.0),
+            ("white", "jeffreys", 0.05, 10.0),
+        ])
+        p0 = np.asarray([8.0, 48.0, 3.0, 1.5])
+        problem = Problem(model_fn=fn, layout=layout, priors=priors,
+                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32))
+        hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
+        plan = PhasePlan(burnin=1000, learning=4000, acquire=8000, thin=4)
+        return problem, hp, plan, {"truth": np.asarray(truth),
+                                   "n_temps": 4, "n_chains": 8}
+
+    if name == "harvey_background":
+        fn, layout = build_model("model_Harvey_Background")
+        nu = jnp.linspace(1.0, 4000.0, 16384)
+        truth = jnp.asarray([300.0, 0.02, 4.0, 50.0, 0.004, 4.0,
+                             10.0, 0.0008, 2.0, 0.3])
+        model = fn(truth, nu)
+        nsmooth = 50
+        sigma = model / np.sqrt(nsmooth)
+        spec = model + sigma * jax.random.normal(key, model.shape)
+        priors = PriorTable.from_rows([
+            ("A1", "jeffreys", 10.0, 3000.0), ("B1", "jeffreys", 1e-3, 1.0),
+            ("p1", "uniform", 1.0, 6.0),
+            ("A2", "jeffreys", 1.0, 500.0), ("B2", "jeffreys", 1e-4, 0.1),
+            ("p2", "uniform", 1.0, 6.0),
+            ("A3", "jeffreys", 0.5, 100.0), ("B3", "jeffreys", 1e-5, 0.01),
+            ("p3", "uniform", 1.0, 6.0),
+            ("N0", "jeffreys", 0.01, 10.0),
+        ])
+        p0 = np.asarray(truth) * (1 + 0.3 * np.random.default_rng(seed).standard_normal(10))
+        p0 = np.clip(p0, [10, 1e-3, 1.0, 1, 1e-4, 1.0, 0.5, 1e-5, 1.0, 0.01],
+                     [3000, 1.0, 6.0, 500, 0.1, 6.0, 100, 0.01, 6.0, 10.0])
+        problem = Problem(model_fn=fn, layout=layout, priors=priors,
+                          nu=nu, spec=spec,
+                          params0=jnp.asarray(p0, jnp.float32),
+                          likelihood="chi_square",
+                          sigma_spec=jnp.asarray(sigma, jnp.float32))
+        hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
+        plan = PhasePlan(burnin=2000, learning=6000, acquire=8000, thin=4)
+        return problem, hp, plan, {"truth": np.asarray(truth),
+                                   "n_temps": 4, "n_chains": 8}
+
+    if name in ("ms_global", "kepler_full"):
+        if name == "ms_global":
+            n_orders, dnu, numax = 6, 100.0, 2500.0
+            n_temps, n_chains, ngrid = 6, 6, 40_000
+            lmax = 2
+            plan = PhasePlan(burnin=3000, learning=12000, acquire=15000, thin=5)
+        else:
+            n_orders, dnu, numax = 14, 85.0, 2200.0
+            n_temps, n_chains, ngrid = 10, 6, 120_000
+            lmax = 3
+            plan = PhasePlan(burnin=4000, learning=20000, acquire=25000, thin=5)
+        n_per_l = tuple(n_orders if l <= lmax else 0 for l in range(4))
+        spec_obj = MSGlobalSpec(n_per_l=n_per_l)
+        fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", spec_obj)
+
+        rng = np.random.default_rng(seed)
+        f0 = numax + dnu * (np.arange(n_orders) - n_orders / 2) \
+            + rng.normal(0, 0.5, n_orders)
+        f0.sort()
+        envelope = np.exp(-0.5 * ((f0 - numax) / (0.18 * numax)) ** 2)
+        heights = 8.0 * envelope + 0.5
+        widths = 1.0 + 2.0 * (f0 - f0[0]) / (f0[-1] - f0[0])
+        vis_true = [1.5, 0.53, 0.07][:max(lmax, 1)]
+        truth = np.zeros(layout.ndim)
+        truth[layout.offset("heights"):layout.offset("heights") + n_orders] = heights
+        vo = layout.offset("visibilities")
+        truth[vo:vo + len(vis_true)] = vis_true
+        for l in range(lmax + 1):
+            off = {0: 0.0, 1: dnu / 2, 2: -0.12 * dnu, 3: 0.28 * dnu}[l]
+            o = layout.offset(f"freq_l{l}")
+            truth[o:o + n_orders] = f0 + off
+        ro = layout.offset("rot")
+        truth[ro:ro + 4] = [1.2, 1.0, 0.01, 0.0]   # a1, eta_sw, a3, asym
+        truth[layout.offset("widths"):layout.offset("widths") + n_orders] = widths
+        no = layout.offset("noise")
+        truth[no:no + 10] = [50.0, 2e-3, 4.0, 10.0, 4e-4, 2.0, -1, -1, 2.0, 0.2]
+        truth[layout.offset("inclination")] = np.deg2rad(55.0)
+        truth[layout.offset("trunc")] = 40.0
+
+        half = dnu * (n_orders / 2 + 1)
+        nu = jnp.linspace(numax - half, numax + half, ngrid)
+        tj = jnp.asarray(truth, jnp.float32)
+        model = fn(tj, nu)
+        spec = _chi2_noise(key, model)
+
+        rows = []
+        for i in range(n_orders):
+            rows.append((f"H_{i}", "jeffreys", 0.2, 100.0))
+        for l in range(1, lmax + 1):
+            rows.append((f"V2_{l}", "gaussian", vis_true[l - 1], 0.1))
+        if lmax < 1:
+            rows.append(("V2_pad", "fix"))
+        for l in range(4):
+            nl = layout.size(f"freq_l{l}")
+            for i in range(nl):
+                rows.append((f"f{l}_{i}", "gaussian",
+                             float(truth[layout.offset(f"freq_l{l}") + i]), 1.0))
+        rows += [("a1", "uniform", 0.0, 8.0), ("eta_sw", "fix"),
+                 ("a3", "gaussian", 0.0, 0.1), ("asym", "fix")]
+        for i in range(n_orders):
+            rows.append((f"W_{i}", "jeffreys", 0.3, 15.0))
+        rows += [("An1", "fix"), ("Bn1", "fix"), ("pn1", "fix"),
+                 ("An2", "fix"), ("Bn2", "fix"), ("pn2", "fix"),
+                 ("An3", "fix"), ("Bn3", "fix"), ("pn3", "fix"),
+                 ("N0", "jeffreys", 0.02, 5.0),
+                 ("inc", "uniform", 0.0, np.pi / 2),
+                 ("trunc", "fix")]
+        priors = PriorTable.from_rows(rows)
+        assert priors.ndim == layout.ndim, (priors.ndim, layout.ndim)
+        p0 = truth.copy()
+        # perturb free params away from truth
+        free = priors.free_mask
+        p0[free] = p0[free] * (1 + 0.05 * rng.standard_normal(free.sum())) \
+            + 0.02 * rng.standard_normal(free.sum())
+        problem = Problem(model_fn=fn, layout=layout, priors=priors,
+                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32))
+        hp = MALAHyper(use_drift=True, dN_mixing=10,
+                       lambda_temp=1.35 if name == "kepler_full" else 1.5)
+        return problem, hp, plan, {"truth": truth, "n_temps": n_temps,
+                                   "n_chains": n_chains}
+
+    raise KeyError(f"unknown demo '{name}'; have single_lorentzian, "
+                   "harvey_background, ms_global, kepler_full")

@@ -1,0 +1,43 @@
+"""Checkpoint / restore of full sampler state.
+
+Reference equivalent: the `restore` files written at phase boundaries
+(`outputs.cpp` [U]; SURVEY.md section 5.4) carrying every chain's theta and
+the sigma/mu/Sigma adaptation state + counters, so month-long fits resume
+exactly.  Here the checkpoint is the complete scan-carry pytree + the PRNG
+key + phase bookkeeping, stored as one npz; resume is bitwise-deterministic
+given the same key stream (tested in tests/test_io.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tamcmc_tpu.sampler.state import SamplerState
+
+_FIELDS = [f.name for f in dataclasses.fields(SamplerState)]
+
+
+def save_checkpoint(path: str, state: SamplerState, key, phase: str = "",
+                    meta: dict | None = None):
+    payload = {f"state_{name}": np.asarray(getattr(state, name))
+               for name in _FIELDS}
+    payload["prng_key"] = np.asarray(jax.random.key_data(key))
+    payload["phase"] = np.asarray(phase)
+    for k, v in (meta or {}).items():
+        payload[f"meta_{k}"] = np.asarray(v)
+    np.savez(path, **payload)
+
+
+def load_checkpoint(path: str):
+    """Returns (state, key, phase, meta)."""
+    z = np.load(path, allow_pickle=False)
+    kwargs = {name: jnp.asarray(z[f"state_{name}"]) for name in _FIELDS}
+    state = SamplerState(**kwargs)
+    key = jax.random.wrap_key_data(jnp.asarray(z["prng_key"]))
+    phase = str(z["phase"])
+    meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
+    return state, key, phase, meta

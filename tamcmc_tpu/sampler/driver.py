@@ -1,0 +1,127 @@
+"""Scan driver + phase machine (Burn-in -> Learning -> Acquire).
+
+Reference equivalent: `MALA::execute` + the phase logic in `main.cpp`
+(SURVEY.md sections 2 "Phase machine", 3.1).  The per-iteration body of the
+reference's hot loop becomes ONE jitted `lax.scan` step batched over (T, C);
+the Python layer only orchestrates phases and chunked host transfers.
+
+Thinning is structural: a scan "super-step" advances `thin` raw iterations
+(inner scan) and emits one record — so device->host traffic is 1/thin of the
+raw chain, matching the reference's buffered thinned writer (`outputs.cpp`).
+Tempering swaps run every `hp.dN_mixing` raw iterations with alternating
+parity sweeps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tamcmc_tpu.sampler.state import SamplerState, MALAHyper
+from tamcmc_tpu.sampler.problem import Problem
+from tamcmc_tpu.sampler.mala import mala_step
+from tamcmc_tpu.sampler.tempering import tempering_swap
+
+
+@dataclasses.dataclass(frozen=True)
+class PhasePlan:
+    """Iteration counts per phase; names follow the reference (B/L/A)."""
+    burnin: int = 2000
+    learning: int = 10000
+    acquire: int = 20000
+    thin: int = 10
+    chunk: int = 200          # emitted records per device->host transfer
+
+    def phases(self):
+        return [("B", self.burnin, True), ("L", self.learning, True),
+                ("A", self.acquire, False)]
+
+
+def _raw_step(problem, hp, betas, adapt):
+    def step(state, key):
+        k1, k2 = jax.random.split(key)
+        state = mala_step(problem, hp, betas, state, k1, adapt=adapt)
+        do_swap = (state.step % hp.dN_mixing) == 0
+        parity = (state.step // hp.dN_mixing) % 2
+        state = jax.lax.cond(
+            do_swap,
+            lambda s: tempering_swap(betas, s, k2, parity),
+            lambda s: s,
+            state)
+        return state, None
+    return step
+
+
+def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
+                      adapt: bool, thin: int, n_emit: int):
+    """Build a jitted (state, key) -> (state, outputs) running
+    n_emit * thin raw iterations and emitting n_emit thinned records."""
+    raw = _raw_step(problem, hp, betas, adapt)
+
+    def super_step(state, key):
+        keys = jax.random.split(key, thin)
+        state, _ = jax.lax.scan(raw, state, keys)
+        record = {
+            "theta0": state.theta[0],          # (C, Df) coldest rung
+            "logL": state.logL,                # (T, C)
+            "logP0": state.logP[0],            # (C,)
+            "log_sigma": state.log_sigma,      # (T,)
+            "acc_rate": state.acc_rate,        # (T,)
+            "mu0": state.mu[0],                # (Df,)
+        }
+        return state, record
+
+    def run(state, key):
+        keys = jax.random.split(key, n_emit)
+        return jax.lax.scan(super_step, state, keys)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
+              chunk=200, on_chunk: Optional[Callable] = None):
+    """Run one phase; returns (state, dict of stacked host outputs).
+
+    on_chunk(outputs_dict) is called with device arrays after each chunk
+    (for streaming writers/checkpoints); outputs are also accumulated and
+    returned stacked on the emit axis.
+    """
+    n_emit_total = max(n_steps // thin, 1)
+    collected = []
+    remaining = n_emit_total
+    # One compiled runner per (adapt, chunk): the final partial chunk runs at
+    # the full chunk size (slight overshoot beats recompiling — XLA compiles
+    # are the expensive resource on the TPU tunnel, not extra iterations).
+    chunk = min(chunk, n_emit_total)
+    runner = make_phase_runner(problem, hp, betas, adapt, thin, chunk)
+    while remaining > 0:
+        n_emit = chunk
+        key, sub = jax.random.split(key)
+        state, outs = runner(state, sub)
+        if on_chunk is not None:
+            on_chunk(outs)
+        collected.append(jax.device_get(outs))
+        remaining -= n_emit
+    import numpy as np
+    stacked = {k: np.concatenate([c[k] for c in collected], axis=0)
+               for k in collected[0]}
+    return state, stacked
+
+
+def run_phases(problem, hp, betas, state, key, plan: PhasePlan,
+               on_phase_end: Optional[Callable] = None):
+    """Full B -> L -> A run. Returns (state, {phase: outputs})."""
+    results = {}
+    for name, n_steps, adapt in plan.phases():
+        if n_steps <= 0:
+            continue
+        key, sub = jax.random.split(key)
+        state, outs = run_phase(problem, hp, betas, state, sub, n_steps,
+                                adapt=adapt, thin=plan.thin, chunk=plan.chunk)
+        results[name] = outs
+        if on_phase_end is not None:
+            on_phase_end(name, state, outs)
+    return state, results

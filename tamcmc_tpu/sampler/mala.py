@@ -1,0 +1,190 @@
+"""Adaptive truncated-drift MALA step (Atchade 2006).
+
+Reference equivalent: `MALA::D_MALA` + the Robbins-Monro updates in
+`MALA.cpp` [U] (SURVEY.md sections 2, 3.1).  Differences by design:
+
+  * the drift uses REAL autodiff gradients (jax.vjp through the fused
+    model+likelihood+prior), where the reference's default mode disables the
+    drift and falls back to adaptive random-walk Metropolis.  `use_drift=False`
+    reproduces the reference's RW behaviour exactly (the q-ratio terms cancel).
+  * one step advances ALL (T temperatures x C walkers) simultaneously —
+    the reference's serial per-chain loop becomes batched linear algebra.
+  * adaptation statistics (mu_t, Sigma_t, sigma_t) are per-temperature and
+    are updated from the walker ensemble mean (psum-ready across devices).
+
+Proposal:    x' = x + (sigma^2/2) Sigma D(x) + sigma chol(Sigma) xi
+Truncation:  D(x) = g * min(1, delta/|g|),  g = beta gradL + gradP
+Acceptance:  log a = beta dlogL + dlogP + log q(x|x') - log q(x'|x)
+Adaptation:  mu    += gamma_k (mean_C x - mu)
+             Sigma += gamma_k (E_C[(x-mu)(x-mu)^T] - Sigma)   (+ eps I ridge)
+             log sigma += gamma_k (acc - 0.234), clipped to projection bounds
+             gamma_k = c0/(k0 + k)^alpha  (Robbins-Monro, truncated drift)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tamcmc_tpu.sampler.state import SamplerState, MALAHyper
+from tamcmc_tpu.sampler.problem import Problem
+
+
+def _truncate_drift(g, delta):
+    """Atchade's truncation: scale gradient to norm <= delta (per walker)."""
+    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    return g * jnp.minimum(1.0, delta / jnp.maximum(norm, 1e-30))
+
+
+def _batched_tri_solve(chol, b):
+    """Solve L y = b for per-temperature L: chol (T,Df,Df), b (T,C,Df)."""
+    def solve_one(L, B):
+        return jax.scipy.linalg.solve_triangular(L, B.T, lower=True).T
+    return jax.vmap(solve_one)(chol, b)
+
+
+def init_state(problem: Problem, hp: MALAHyper, n_temps: int, n_chains: int,
+               key, init_scales=None, jitter: float = 1e-4) -> SamplerState:
+    """Initial state: all walkers at params0(+jitter); Sigma = diag(scales^2).
+
+    init_scales: (Df,) per-parameter proposal scales.  Default: derived from
+    the prior table (Gaussian sigma; uniform range/100; fallback |p0|/100),
+    mirroring the role of the reference's per-parameter initial step sizes
+    from the .model file's prior hyperparameters [U].
+    """
+    Df = problem.ndim_free
+    x0 = problem.extract(problem.params0)
+    if init_scales is None:
+        init_scales = default_init_scales(problem)
+    scales = jnp.asarray(init_scales, dtype=jnp.float32)
+    k1, _ = jax.random.split(key)
+    jit_noise = jitter * scales * jax.random.normal(k1, (n_temps, n_chains, Df))
+    theta0 = jnp.broadcast_to(x0, (n_temps, n_chains, Df)) + jit_noise
+    (logL, logP), (gL, gP) = problem.batched_logparts_and_grad(theta0)
+    cov0 = jnp.broadcast_to(jnp.diag(scales**2), (n_temps, Df, Df))
+    chol0 = jnp.broadcast_to(jnp.diag(scales), (n_temps, Df, Df))
+    sigma0 = hp.sigma0_scale * 2.38 / np.sqrt(max(Df, 1))
+    return SamplerState(
+        theta=theta0, logL=logL, logP=logP, gradL=gL, gradP=gP,
+        mu=jnp.broadcast_to(x0, (n_temps, Df)),
+        cov=cov0, chol=chol0,
+        log_sigma=jnp.full((n_temps,), float(np.log(sigma0))),
+        step=jnp.asarray(0, dtype=jnp.int32),
+        naccept=jnp.zeros((n_temps,)),
+        nprop=jnp.asarray(0.0),
+        acc_rate=jnp.full((n_temps,), hp.target_acceptance),
+        nswap_att=jnp.zeros((n_temps,)),
+        nswap_acc=jnp.zeros((n_temps,)),
+    )
+
+
+def default_init_scales(problem) -> np.ndarray:
+    """Per-free-parameter step scales from the prior table (or 0.1 for
+    analytic targets without one)."""
+    from tamcmc_tpu.stats.priors import PriorKind
+    if getattr(problem, "priors", None) is None:
+        return np.full(problem.ndim_free, 0.1)
+    kinds = np.asarray(problem.priors.kinds)
+    hyp = np.asarray(problem.priors.hypers)
+    p0 = np.asarray(problem.params0)
+    scales = np.maximum(np.abs(p0) * 0.01, 1e-6)
+    for i in range(kinds.shape[0]):
+        k = kinds[i]
+        if k == int(PriorKind.GAUSSIAN):
+            scales[i] = max(hyp[i, 1] * 0.1, 1e-8)
+        elif k in (int(PriorKind.UNIFORM), int(PriorKind.UNIFORM_GAUSSIAN),
+                   int(PriorKind.GUG)):
+            scales[i] = max((hyp[i, 1] - hyp[i, 0]) * 0.01, 1e-8)
+        elif k == int(PriorKind.JEFFREYS):
+            scales[i] = max(hyp[i, 1] * 0.01, 1e-8)
+    return scales[problem.free_idx]
+
+
+def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
+              key, adapt: bool = True):
+    """One batched MALA(+adaptation) step for all (T, C) walkers.
+
+    betas: (T,) inverse temperatures.  `adapt` is a static flag (phases
+    compile separate variants — the reference freezes adaptation in the
+    Acquire phase the same way).
+    """
+    T, C, Df = state.theta.shape
+    k_prop, k_acc = jax.random.split(key)
+    sigma = jnp.exp(state.log_sigma)                       # (T,)
+    s2 = (sigma**2)[:, None, None]
+    b = betas[:, None]                                      # (T,1)
+
+    # --- forward proposal ---
+    if hp.use_drift:
+        g = b[..., None] * state.gradL + state.gradP        # tempered grad
+        drift = _truncate_drift(g, hp.drift_delta)
+        Sd = jnp.einsum("tij,tcj->tci", state.cov, drift)
+        mean_fwd = state.theta + 0.5 * s2 * Sd
+    else:
+        mean_fwd = state.theta
+    xi = jax.random.normal(k_prop, (T, C, Df), dtype=state.theta.dtype)
+    prop = mean_fwd + sigma[:, None, None] * jnp.einsum(
+        "tij,tcj->tci", state.chol, xi)
+
+    # --- evaluate proposal ---
+    (logLp, logPp), (gLp, gPp) = problem.batched_logparts_and_grad(prop)
+
+    # --- reverse-proposal correction (vanishes when drift is off) ---
+    if hp.use_drift:
+        gp = b[..., None] * gLp + gPp
+        drift_p = _truncate_drift(gp, hp.drift_delta)
+        Sdp = jnp.einsum("tij,tcj->tci", state.cov, drift_p)
+        mean_rev = prop + 0.5 * s2 * Sdp
+        r = _batched_tri_solve(state.chol, state.theta - mean_rev)
+        logq_rev = -0.5 * jnp.sum(r**2, axis=-1) / (sigma**2)[:, None]
+        logq_fwd = -0.5 * jnp.sum(xi**2, axis=-1)
+        q_corr = logq_rev - logq_fwd
+    else:
+        q_corr = 0.0
+
+    # --- Metropolis-Hastings accept ---
+    dlog = (b * (logLp - state.logL) + (logPp - state.logP) + q_corr)
+    log_u = jnp.log(jax.random.uniform(k_acc, (T, C), dtype=dlog.dtype) + 1e-38)
+    accept = log_u < dlog                                   # (T, C)
+    accf = accept.astype(state.theta.dtype)
+    acc3 = accf[..., None]
+
+    theta = jnp.where(acc3 > 0, prop, state.theta)
+    logL = jnp.where(accept, logLp, state.logL)
+    logP = jnp.where(accept, logPp, state.logP)
+    gradL = jnp.where(acc3 > 0, gLp, state.gradL)
+    gradP = jnp.where(acc3 > 0, gPp, state.gradP)
+
+    inst_acc = jnp.mean(jnp.minimum(jnp.exp(dlog), 1.0), axis=1)  # (T,)
+    acc_rate = (1 - hp.acc_smooth) * state.acc_rate + hp.acc_smooth * inst_acc
+
+    step = state.step + 1
+    if adapt:
+        k = step.astype(theta.dtype)
+        gamma = hp.gain_c0 / (hp.gain_k0 + k) ** hp.gain_alpha
+        mean_c = jnp.mean(theta, axis=1)                    # (T, Df) psum-ready
+        mu = state.mu + gamma * (mean_c - state.mu)
+        dev = theta - mu[:, None, :]
+        emp = jnp.einsum("tci,tcj->tij", dev, dev) / C      # (T, Df, Df)
+        cov = state.cov + gamma * (emp - state.cov)
+        eye = jnp.eye(Df, dtype=cov.dtype)
+        chol = jnp.linalg.cholesky(cov + hp.eps_cov * eye)
+        # SPD guard: if cholesky produced NaNs, keep the previous factor
+        bad = jnp.any(jnp.isnan(chol), axis=(-2, -1), keepdims=True)
+        chol = jnp.where(bad, state.chol, chol)
+        cov = jnp.where(bad, state.cov, cov)
+        log_sigma = jnp.clip(
+            state.log_sigma + gamma * (inst_acc - hp.target_acceptance),
+            hp.log_sigma_min, hp.log_sigma_max)
+    else:
+        mu, cov, chol, log_sigma = state.mu, state.cov, state.chol, state.log_sigma
+
+    return SamplerState(
+        theta=theta, logL=logL, logP=logP, gradL=gradL, gradP=gradP,
+        mu=mu, cov=cov, chol=chol, log_sigma=log_sigma, step=step,
+        naccept=state.naccept + jnp.mean(accf, axis=1),
+        nprop=state.nprop + 1.0,
+        acc_rate=acc_rate,
+        nswap_att=state.nswap_att, nswap_acc=state.nswap_acc,
+    )

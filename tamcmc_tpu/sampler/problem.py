@@ -1,0 +1,94 @@
+"""Problem: immutable bundle of (model, likelihood, priors, data).
+
+Replaces the reference's mutable `Model_def` state holder
+(`model_def.cpp` [U]; SURVEY.md section 2): model/likelihood/prior dispatch
+is resolved ONCE at build time; inside jit there is only a pure function
+`logparts_and_grad`.  Fixed ("Fix"/"Auto") parameters are excluded from the
+sampling space: the sampler works in the Df-dim free subspace and `embed`
+scatters free values into the full parameter vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tamcmc_tpu.stats.priors import PriorTable
+from tamcmc_tpu.stats.likelihoods import get_likelihood
+from tamcmc_tpu.utils.blocks import BlockLayout
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    model_fn: Callable            # (full_params, nu) -> model spectrum
+    layout: BlockLayout
+    priors: PriorTable
+    nu: jnp.ndarray               # (N,) frequency grid
+    spec: jnp.ndarray             # (N,) observed power spectrum
+    params0: jnp.ndarray          # (D,) full initial/fixed parameter vector
+    likelihood: str = "chi22p"
+    sigma_spec: Optional[jnp.ndarray] = None   # for chi_square likelihood
+    mask: Optional[jnp.ndarray] = None
+    extra_logp: Optional[Callable] = None      # cross-parameter constraints
+
+    def __post_init__(self):
+        assert self.priors.ndim == self.layout.ndim, \
+            f"prior table has {self.priors.ndim} rows, layout {self.layout.ndim}"
+
+    # ---- free-subspace machinery (static) ----
+    @property
+    def free_idx(self) -> np.ndarray:
+        return np.nonzero(self.priors.free_mask)[0]
+
+    @property
+    def ndim_free(self) -> int:
+        return int(self.free_idx.shape[0])
+
+    @property
+    def free_names(self):
+        names = self.layout.param_names()
+        return [names[i] for i in self.free_idx]
+
+    def embed(self, x):
+        """(..., Df) free vector -> (..., D) full params (fixed from params0)."""
+        idx = jnp.asarray(self.free_idx)
+        base = jnp.broadcast_to(self.params0, x.shape[:-1] + self.params0.shape)
+        return base.at[..., idx].set(x)
+
+    def extract(self, full):
+        return full[..., jnp.asarray(self.free_idx)]
+
+    # ---- log-posterior pieces ----
+    def log_parts(self, x):
+        """x: (Df,) free vector -> (logL, logP) scalars."""
+        full = self.embed(x)
+        model = self.model_fn(full, self.nu)
+        lfn = get_likelihood(self.likelihood)
+        if self.likelihood == "chi_square":
+            logL = lfn(self.spec, model, self.sigma_spec, self.mask)
+        else:
+            logL = lfn(self.spec, model, self.mask)
+        logP = self.priors.log_prior(full)
+        if self.extra_logp is not None:
+            logP = logP + self.extra_logp(full)
+        return logL, logP
+
+    def logparts_and_grad(self, x):
+        """Fused value+grad of both pieces in ONE backward pass:
+        differentiates (logL, logP) jointly via jacrev-free trick —
+        grad of (logL + c * logP) at c=0 and c=1 would need two passes, so we
+        use jax.value_and_grad on each; XLA CSEs the shared forward model.
+        Returns ((logL, logP), (gradL, gradP))."""
+        (logL, logP), pullback = jax.vjp(self.log_parts, x)
+        gradL, = pullback((jnp.ones_like(logL), jnp.zeros_like(logP)))
+        gradP, = pullback((jnp.zeros_like(logL), jnp.ones_like(logP)))
+        return (logL, logP), (gradL, gradP)
+
+    def batched_logparts_and_grad(self, x):
+        """x: (T, C, Df) -> ((T,C), (T,C)), ((T,C,Df), (T,C,Df))."""
+        f = jax.vmap(jax.vmap(self.logparts_and_grad))
+        return f(x)

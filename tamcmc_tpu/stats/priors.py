@@ -141,5 +141,5 @@ class PriorTable:
             hypers.append(hh)
             names.append(name)
         return PriorTable(np.asarray(kinds, dtype=np.int32),
-                         np.asarray(hypers, dtype=np.float64),
+                         np.asarray(hypers, dtype=np.float64).reshape(-1, 4),
                          tuple(names))

@@ -24,3 +24,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+# The sandbox injects /root/.axon_site (PYTHONPATH) which force-prepends the
+# experimental 'axon' TPU platform, SILENTLY OVERRIDING JAX_PLATFORMS=cpu.
+# Tests must run on the real host CPU (8 fake devices for mesh tests), so we
+# override back explicitly — config.update after import wins over the hook.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
