@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Headline benchmark: effective samples / s / chip on the multi-mode
+peak-bagging fit (BASELINE.json config 3 scale).
+
+Prints ONE JSON line:
+  {"metric": "eff_samples_per_s_per_chip", "value": N, "unit": "ESS/s",
+   "vs_baseline": R}
+
+vs_baseline is measured against the sequential NumPy architectural emulation
+of the C++ reference (tamcmc_tpu/refimpl.py) run on this host — the real
+cpptamcmc was not buildable this round (see BASELINE.md).  Statistical
+efficiency (ESS/step/walker) is taken from the TPU run and shared with the
+baseline, so the ratio is pure hardware+architecture throughput times
+walker-parallelism — the quantity the north star targets.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import numpy as np
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from tamcmc_tpu.demos import make_demo
+    from tamcmc_tpu.sampler import init_state, make_beta_ladder
+    from tamcmc_tpu.sampler.driver import make_phase_runner
+    from tamcmc_tpu.diagnostics.ess import effective_sample_size
+
+    problem, hp, plan, meta = make_demo("ms_global", seed=0)
+    T, C = meta["n_temps"], meta["n_chains"]
+    betas = make_beta_ladder(T, hp.lambda_temp)
+    key = jax.random.PRNGKey(0)
+    key, sub = jax.random.split(key)
+    state = init_state(problem, hp, T, C, sub)
+
+    # --- adapt (not timed): burn-in + learning ---
+    warm = make_phase_runner(problem, hp, betas, adapt=True, thin=5, n_emit=100)
+    t0 = time.time()
+    for _ in range(4):                      # 2000 adaptation steps
+        key, sub = jax.random.split(key)
+        state, _ = warm(state, sub)
+    jax.block_until_ready(state.theta)
+    t_warm = time.time() - t0
+
+    # --- timed acquire phase ---
+    thin, n_emit, reps = 5, 200, 3
+    acq = make_phase_runner(problem, hp, betas, adapt=False, thin=thin,
+                            n_emit=n_emit)
+    key, sub = jax.random.split(key)
+    state, _ = acq(state, sub)              # compile + settle (not timed)
+    jax.block_until_ready(state.theta)
+    t1 = time.time()
+    chunks = []
+    for _ in range(reps):
+        key, sub = jax.random.split(key)
+        state, outs = acq(state, sub)
+        chunks.append(outs["theta0"])
+    jax.block_until_ready(state.theta)
+    dt = time.time() - t1
+    theta = np.concatenate([np.asarray(c) for c in chunks], axis=0)  # (E,C,Df)
+
+    n_steps = reps * n_emit * thin
+    steps_per_s = n_steps / dt
+    # ESS summed over free params' slowest? Headline: mean ESS across params
+    E, Cc, Df = theta.shape
+    ess = np.array([effective_sample_size(theta[:, :, i]) for i in range(Df)])
+    ess_med = float(np.median(ess))
+    ess_per_s = ess_med / dt
+    ess_per_step_per_walker = ess_med / (E * thin) / Cc  # thinned emits * thin raw steps
+
+    # --- baseline: sequential numpy emulation of the C++ architecture ---
+    from tamcmc_tpu.refimpl import SequentialSampler
+    spec_np = np.asarray(problem.spec, dtype=np.float64)
+    nu_np = np.asarray(problem.nu, dtype=np.float64)
+    model_fn = jax.jit(problem.model_fn)
+
+    free_idx = problem.free_idx
+    p0 = np.asarray(problem.params0, dtype=np.float64)
+
+    # pure-numpy model+likelihood (no jax) for the baseline
+    def np_loglike(x):
+        full = p0.copy()
+        full[free_idx] = x
+        m = _np_model(full, nu_np)
+        m = np.maximum(m, 1e-12)
+        return -np.sum(np.log(m) + spec_np / m)
+
+    layout = problem.layout
+    import tamcmc_tpu.ops.rotation as rot
+
+    def _np_model(p, nu):
+        # numpy mirror of model_MS_Global_a1etaa3_HarveyLike (dense eval)
+        def blk(name):
+            o = layout.offset(name)
+            return p[o:o + layout.size(name)]
+        heights, widths = blk("heights"), blk("widths")
+        vis = blk("visibilities")
+        f0 = blk("freq_l0")
+        inc = blk("inclination")[0]
+        a1, sw, a3, asym = blk("rot")
+        total = np.zeros_like(nu)
+        ci, si = np.cos(inc), np.sin(inc)
+        eps_l = {0: np.array([1.0]),
+                 1: np.array([0.5 * si**2, ci**2, 0.5 * si**2]),
+                 2: np.array([3 / 8 * si**4, 1.5 * ci**2 * si**2,
+                              0.25 * (3 * ci**2 - 1) ** 2,
+                              1.5 * ci**2 * si**2, 3 / 8 * si**4])}
+        for l in (0, 1, 2):
+            fl = blk(f"freq_l{l}")
+            if fl.size == 0:
+                continue
+            h = heights if l == 0 else np.interp(fl, f0, heights) * vis[l - 1]
+            w = widths if l == 0 else np.interp(fl, f0, widths)
+            m_arr = np.arange(-l, l + 1)
+            q = np.asarray(rot.qlm(l))
+            p3 = (np.asarray(rot.rl_polynomials(l, 3)[2]) if l >= 2
+                  else np.zeros(2 * l + 1))
+            for i in range(fl.size):
+                nus = fl[i] + m_arr * a1 + a3 * p3
+                for j, eps in enumerate(eps_l[l]):
+                    x = 2 * (nu - nus[j]) / max(w[i], 1e-6)
+                    total += h[i] * eps / (1 + x * x)
+        noise = blk("noise")
+        for k in range(3):
+            A, B, pw = noise[3 * k:3 * k + 3]
+            if A > 0 and B > 0:
+                total += A / (1 + (B * nu) ** pw)
+        return total + max(noise[9], 0.0)
+
+    def np_logprior(x):
+        return 0.0  # flat inside support; adequate for throughput timing
+
+    scales = np.asarray(
+        __import__("tamcmc_tpu.sampler.mala", fromlist=["default_init_scales"]
+                   ).default_init_scales(problem))
+    x0 = p0[free_idx]
+    seq = SequentialSampler(np_loglike, np_logprior, x0, scales,
+                            n_temps=T, lambda_temp=hp.lambda_temp, seed=0)
+    n_ref = 30
+    t2 = time.time()
+    for _ in range(n_ref):
+        seq.step()
+    ref_dt = time.time() - t2
+    ref_steps_per_s = n_ref / ref_dt
+    ref_ess_per_s = ess_per_step_per_walker * ref_steps_per_s  # 1 walker/rung
+
+    result = {
+        "metric": "eff_samples_per_s_per_chip",
+        "value": round(ess_per_s, 2),
+        "unit": "ESS/s",
+        "vs_baseline": round(ess_per_s / max(ref_ess_per_s, 1e-12), 1),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "raw_steps_per_s": round(steps_per_s, 1),
+            "walkers": int(Cc), "temps": int(T),
+            "grid_bins": int(np.asarray(problem.nu).shape[0]),
+            "free_dims": int(Df),
+            "ess_median_per_param": round(ess_med, 1),
+            "baseline_steps_per_s_numpy_sequential": round(ref_steps_per_s, 2),
+            "warmup_s": round(t_warm, 1),
+            "timed_s": round(dt, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

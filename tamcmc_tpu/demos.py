@@ -30,6 +30,16 @@ def _chi2_noise(key, model):
     return model * jax.random.exponential(key, model.shape)
 
 
+def _make_synthetic(fn, truth, nu, key):
+    """model eval + chi2(2dof) noise in ONE jit call: eager op-by-op dispatch
+    is pathologically slow over this sandbox's TPU tunnel."""
+    @jax.jit
+    def gen(t, n, k):
+        m = fn(t, n)
+        return m, _chi2_noise(k, m)
+    return gen(truth, nu, key)
+
+
 def make_demo(name: str, seed: int = 0):
     """Returns (problem, hp, plan, meta) — meta includes truth params."""
     key = jax.random.PRNGKey(seed)
@@ -38,8 +48,7 @@ def make_demo(name: str, seed: int = 0):
         fn, layout = build_model("model_Single_Lorentzian")
         nu = jnp.linspace(10.0, 90.0, 8192)
         truth = jnp.asarray([12.0, 50.0, 2.0, 1.0])
-        model = fn(truth, nu)
-        spec = _chi2_noise(key, model)
+        model, spec = _make_synthetic(fn, truth, nu, key)
         priors = PriorTable.from_rows([
             ("H", "jeffreys", 0.5, 100.0),
             ("nu0", "uniform", 30.0, 70.0),
@@ -127,8 +136,7 @@ def make_demo(name: str, seed: int = 0):
         half = dnu * (n_orders / 2 + 1)
         nu = jnp.linspace(numax - half, numax + half, ngrid)
         tj = jnp.asarray(truth, jnp.float32)
-        model = fn(tj, nu)
-        spec = _chi2_noise(key, model)
+        model, spec = _make_synthetic(fn, tj, nu, key)
 
         rows = []
         for i in range(n_orders):

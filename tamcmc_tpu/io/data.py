@@ -21,14 +21,21 @@ def read_spectrum(path: str):
         if "sigma" in z:
             out["sigma"] = z["sigma"]
         return out
-    rows = []
-    with open(p) as f:
-        for line in f:
-            t = line.strip()
-            if not t or t[0] in "#!*":
-                continue
-            rows.append([float(v) for v in t.split()])
-    arr = np.asarray(rows, dtype=np.float64)
+    arr = None
+    try:                                   # native fast path (strtod loop)
+        from tamcmc_tpu.io.native import native_read_table
+        arr = native_read_table(p)
+    except Exception:
+        arr = None
+    if arr is None:                        # pure-python fallback
+        rows = []
+        with open(p) as f:
+            for line in f:
+                t = line.strip()
+                if not t or t[0] in "#!*":
+                    continue
+                rows.append([float(v) for v in t.split()])
+        arr = np.asarray(rows, dtype=np.float64)
     if arr.ndim != 2 or arr.shape[1] < 2:
         raise ValueError(f"{path}: expected >=2 columns, got shape {arr.shape}")
     out = {"nu": arr[:, 0], "power": arr[:, 1]}

@@ -42,14 +42,28 @@ class OutputWriter:
         E, C, Df = theta0.shape
         f = self._bin_handles.get(phase)
         if f is None:
-            f = open(self.outdir / f"{phase}_samples.bin", "wb")
+            f = self._open_writer(phase, Df)
             self._bin_handles[phase] = f
             self._counts[phase] = 0
             self._chain_buffers[phase] = []
-        f.write(theta0.reshape(E * C, Df).astype("<f8").tobytes())
+        records = theta0.reshape(E * C, Df)
+        if hasattr(f, "append"):           # native async writer
+            f.append(records)
+        else:
+            f.write(records.astype("<f8").tobytes())
         self._counts[phase] += E * C
         self._chain_buffers[phase].append(
             {k: np.asarray(v) for k, v in outs.items() if k != "theta0"})
+
+    def _open_writer(self, phase: str, nvars: int):
+        """Prefer the native async double-buffered writer (native/recordio);
+        fall back to a plain Python file handle."""
+        path = self.outdir / f"{phase}_samples.bin"
+        try:
+            from tamcmc_tpu.io.native import NativeRecordWriter
+            return NativeRecordWriter(str(path), nvars)
+        except Exception:
+            return open(path, "wb")
 
     def finalize_phase(self, phase: str):
         if phase not in self._bin_handles:

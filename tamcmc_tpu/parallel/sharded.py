@@ -1,0 +1,73 @@
+"""Sharded execution of the sampler over a (temp, chain) device mesh.
+
+Strategy: the single-chip step (sampler/mala.py, sampler/tempering.py) is
+already written as batched array programs over leading (T, C) axes with
+static-partner gathers for swaps and walker-mean reductions for adaptation.
+Scaling out is therefore a *sharding annotation*, not a rewrite: we jit the
+identical step with NamedShardings pinned on inputs and outputs and let XLA
+GSPMD lower
+
+  * the tempering-swap gather  x[partner]  on the 'temp' axis to a
+    collective-permute between neighbouring rungs over ICI,
+  * the walker means/einsums on the 'chain' axis to psum reductions,
+
+exactly the plan of SURVEY.md section 5.8.  Multi-host extension: call
+`jax.distributed.initialize()` before building the mesh — the same code
+lowers ICI collectives within a slice and DCN across hosts.
+
+(An explicit shard_map + ppermute implementation is the planned perf
+fallback if GSPMD's choices prove suboptimal; profile first.)
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tamcmc_tpu.parallel.mesh import state_shardings
+from tamcmc_tpu.sampler.driver import _raw_step
+
+
+def shard_state(state, mesh):
+    """Place a host-built SamplerState onto the mesh with the standard layout."""
+    sh = state_shardings(mesh)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
+
+
+def make_sharded_phase_runner(problem, hp, betas, mesh, adapt: bool,
+                              thin: int, n_emit: int):
+    """Sharded analog of sampler.driver.make_phase_runner.
+
+    Returns jitted (state, key) -> (state, outputs) with state pinned to the
+    mesh layout; outputs are emitted with the cold rung fully replicated
+    (small host-bound records).
+    """
+    raw = _raw_step(problem, hp, betas, adapt)
+    sh = state_shardings(mesh)
+    rep = NamedSharding(mesh, P())
+
+    def super_step(state, key):
+        keys = jax.random.split(key, thin)
+        state, _ = jax.lax.scan(raw, state, keys)
+        record = {
+            "theta0": state.theta[0],
+            "logL": state.logL,
+            "logP0": state.logP[0],
+            "log_sigma": state.log_sigma,
+            "acc_rate": state.acc_rate,
+            "mu0": state.mu[0],
+        }
+        return state, record
+
+    def run(state, key):
+        keys = jax.random.split(key, n_emit)
+        return jax.lax.scan(super_step, state, keys)
+
+    out_record_sh = {
+        "theta0": rep, "logL": NamedSharding(mesh, P(None, "temp", "chain")),
+        "logP0": rep, "log_sigma": rep, "acc_rate": rep, "mu0": rep,
+    }
+    return jax.jit(run,
+                   in_shardings=(sh, rep),
+                   out_shardings=(sh, out_record_sh),
+                   donate_argnums=(0,))
