@@ -40,7 +40,7 @@ def _make_synthetic(fn, truth, nu, key):
     return gen(truth, nu, key)
 
 
-def make_demo(name: str, seed: int = 0):
+def make_demo(name: str, seed: int = 0, ngrid: int = None):
     """Returns (problem, hp, plan, meta) — meta includes truth params."""
     key = jax.random.PRNGKey(seed)
     name = name.lower()
@@ -97,12 +97,12 @@ def make_demo(name: str, seed: int = 0):
     if name in ("ms_global", "kepler_full"):
         if name == "ms_global":
             n_orders, dnu, numax = 6, 100.0, 2500.0
-            n_temps, n_chains, ngrid = 6, 6, 40_000
+            n_temps, n_chains, ngrid = 6, 6, ngrid or 40_000
             lmax = 2
             plan = PhasePlan(burnin=3000, learning=12000, acquire=15000, thin=5)
         else:
             n_orders, dnu, numax = 14, 85.0, 2200.0
-            n_temps, n_chains, ngrid = 10, 6, 120_000
+            n_temps, n_chains, ngrid = 10, 6, ngrid or 120_000
             lmax = 3
             plan = PhasePlan(burnin=4000, learning=20000, acquire=25000, thin=5)
         n_per_l = tuple(n_orders if l <= lmax else 0 for l in range(4))
@@ -174,5 +174,67 @@ def make_demo(name: str, seed: int = 0):
         return problem, hp, plan, {"truth": truth, "n_temps": n_temps,
                                    "n_chains": n_chains}
 
+    if name == "subgiant_mixed":
+        # BASELINE config 5: dense l=1 mixed modes from the ARMM solver
+        from tamcmc_tpu.models.asymptotic import RGBAsymptSpec
+        from tamcmc_tpu.ops.armm import count_poles
+        dnu, dpi1, eps_g, qq = 10.0, 80.0, 0.0, 0.15
+        numin, numax_w = 100.0, 160.0
+        n_orders = 5
+        n_p, n_g = count_poles(dnu, dpi1, 0.4, eps_g, numin, numax_w)
+        spec_obj = RGBAsymptSpec(n_orders=n_orders, numin=numin,
+                                 numax_win=numax_w, n_p_poles=n_p,
+                                 n_g_poles=n_g)
+        fn, layout = build_model("model_RGB_asympt_a1etaa3_HarveyLike", spec_obj)
+        truth = np.zeros(layout.ndim)
+        f0 = 100.0 + dnu * (np.arange(n_orders) + 0.4)
+        truth[layout.offset("heights"):layout.offset("heights") + n_orders] = 6.0
+        vo = layout.offset("visibilities")
+        truth[vo:vo + 2] = [1.5, 0.53]
+        truth[layout.offset("freq_l0"):layout.offset("freq_l0") + n_orders] = f0
+        truth[layout.offset("freq_l2"):layout.offset("freq_l2") + n_orders] = f0 - 1.2
+        truth[layout.offset("mixed"):layout.offset("mixed") + 3] = [dpi1, eps_g, qq]
+        truth[layout.offset("rot"):layout.offset("rot") + 3] = [0.05, 0.4, 0.0]
+        truth[layout.offset("widths"):layout.offset("widths") + n_orders] = 0.15
+        no = layout.offset("noise")
+        truth[no:no + 10] = [20.0, 0.05, 2.0, -1, -1, 2, -1, -1, 2, 0.1]
+        truth[layout.offset("inclination")] = np.deg2rad(60.0)
+        nu = jnp.linspace(numin, numax_w, ngrid or 60_000)
+        tj = jnp.asarray(truth, jnp.float32)
+        model, spec = _make_synthetic(fn, tj, nu, key)
+        rows = []
+        for i in range(n_orders):
+            rows.append((f"H_{i}", "jeffreys", 0.2, 100.0))
+        rows += [("V2_1", "gaussian", 1.5, 0.1), ("V2_2", "gaussian", 0.53, 0.08)]
+        for i in range(n_orders):
+            rows.append((f"f0_{i}", "gaussian", float(f0[i]), 0.3))
+        for i in range(n_orders):
+            rows.append((f"f2_{i}", "gaussian", float(f0[i] - 1.2), 0.3))
+        rows += [("DPi1", "uniform", 60.0, 100.0),
+                 ("eps_g", "uniform", -0.5, 0.5),
+                 ("q", "uniform", 0.02, 0.5),
+                 ("a1_env", "uniform", 0.0, 0.5),
+                 ("a1_core", "uniform", 0.0, 1.5),
+                 ("asym", "fix")]
+        for i in range(n_orders):
+            rows.append((f"W_{i}", "jeffreys", 0.02, 2.0))
+        rows += [("An1", "fix"), ("Bn1", "fix"), ("pn1", "fix"),
+                 ("An2", "fix"), ("Bn2", "fix"), ("pn2", "fix"),
+                 ("An3", "fix"), ("Bn3", "fix"), ("pn3", "fix"),
+                 ("N0", "jeffreys", 0.01, 2.0),
+                 ("inc", "uniform", 0.0, np.pi / 2),
+                 ("trunc", "fix")]
+        priors = PriorTable.from_rows(rows)
+        assert priors.ndim == layout.ndim, (priors.ndim, layout.ndim)
+        rng = np.random.default_rng(seed)
+        p0 = truth.copy()
+        free = priors.free_mask
+        p0[free] *= (1 + 0.01 * rng.standard_normal(free.sum()))
+        problem = Problem(model_fn=fn, layout=layout, priors=priors,
+                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32))
+        hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.3)
+        plan = PhasePlan(burnin=4000, learning=15000, acquire=20000, thin=5)
+        return problem, hp, plan, {"truth": truth, "n_temps": 8, "n_chains": 6}
+
     raise KeyError(f"unknown demo '{name}'; have single_lorentzian, "
-                   "harvey_background, ms_global, kepler_full")
+                   "harvey_background, ms_global, kepler_full, subgiant_mixed")

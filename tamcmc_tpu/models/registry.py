@@ -12,6 +12,7 @@ import dataclasses
 
 from tamcmc_tpu.models.ms_global import MSGlobalSpec, build_ms_global
 from tamcmc_tpu.models.local import MSLocalSpec, build_ms_local
+from tamcmc_tpu.models.asymptotic import RGBAsymptSpec, build_rgb_asympt
 from tamcmc_tpu.models.test_models import (
     TestGaussianSpec, build_test_gaussian,
     HarveyGaussianSpec, build_harvey_gaussian,
@@ -41,6 +42,9 @@ _register("model_MS_Global_a1etaa3_HarveyLike", MSGlobalSpec,
 _register("model_MS_Global_aj_HarveyLike", MSGlobalSpec,
           lambda spec: build_ms_global(dataclasses.replace(spec, rotation="aj")),
           "global p-mode fit, a1..a6 a-coefficients, Harvey-like background")
+_register("model_RGB_asympt_a1etaa3_HarveyLike", RGBAsymptSpec,
+          build_rgb_asympt,
+          "RGB/subgiant fit: individual l=0/2 + ARMM l=1 mixed-mode forest")
 _register("model_MS_local_basic", MSLocalSpec, build_ms_local,
           "windowed local fit, per-mode free parameters")
 _register("model_Test_Gaussian", TestGaussianSpec, build_test_gaussian,

@@ -50,7 +50,12 @@ class Problem:
 
     @property
     def free_names(self):
-        names = self.layout.param_names()
+        # prefer user-facing names from the prior table (problem files set
+        # them); fall back to the layout's block-derived names
+        if self.priors.names and len(self.priors.names) == self.layout.ndim:
+            names = list(self.priors.names)
+        else:
+            names = self.layout.param_names()
         return [names[i] for i in self.free_idx]
 
     def embed(self, x):

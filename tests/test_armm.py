@@ -1,0 +1,148 @@
+"""ARMM mixed-mode solver tests: root correctness vs brute-force scan,
+limiting behaviours, zeta properties, differentiability, RGB model build."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tamcmc_tpu.ops.armm import mixed_mode_frequencies, count_poles, _f
+
+
+DNU, EPSP, DPI1, EPSG, Q = 10.0, 0.4, 80.0, 0.0, 0.15
+NUMIN, NUMAX = 100.0, 160.0
+
+
+def brute_force_roots():
+    """Find roots of f on a very fine grid between poles (float64 numpy)."""
+    def theta_p(nu):
+        return np.pi * (nu / DNU - EPSP)
+    def theta_g(nu):
+        return np.pi * (1e6 / (DPI1 * nu) - EPSG)
+    def f(nu):
+        return np.tan(theta_p(nu)) - Q * np.tan(theta_g(nu))
+    # pole locations
+    kp = np.arange(int(NUMIN / DNU - 1) , int(NUMAX / DNU) + 2)
+    p_poles = DNU * (kp + 0.5 + EPSP)
+    kg_lo = 1e6 / (DPI1 * NUMAX) - 0.5 - EPSG
+    kg_hi = 1e6 / (DPI1 * NUMIN) - 0.5 - EPSG
+    kg = np.arange(int(np.floor(kg_lo)), int(np.ceil(kg_hi)) + 1)
+    g_poles = 1e6 / (DPI1 * (kg + 0.5 + EPSG))
+    poles = np.sort(np.concatenate([p_poles, g_poles]))
+    poles = poles[(poles > NUMIN) & (poles < NUMAX)]
+    roots = []
+    from scipy.optimize import brentq
+    for a, b in zip(poles[:-1], poles[1:]):
+        try:
+            r = brentq(f, a + 1e-7, b - 1e-7, xtol=1e-10)
+            roots.append(r)
+        except ValueError:
+            pass
+    return np.asarray(roots)
+
+
+class TestSolver:
+    def test_matches_brute_force(self):
+        n_p, n_g = count_poles(DNU, DPI1, EPSP, EPSG, NUMIN, NUMAX)
+        freqs, zeta, valid = mixed_mode_frequencies(
+            DNU, EPSP, DPI1, EPSG, Q, NUMIN, NUMAX, n_p, n_g)
+        got = np.sort(np.asarray(freqs)[np.asarray(valid) > 0])
+        want = brute_force_roots()
+        # padded solver may include roots in boundary-truncated intervals;
+        # every brute-force root must be found to ~bisection precision
+        assert got.shape[0] >= want.shape[0]
+        for w in want:
+            assert np.min(np.abs(got - w)) < 5e-3, w
+
+    def test_mode_count_scales_with_dpi1(self):
+        """Halving DPi1 roughly doubles the g-mode density."""
+        n_p, n_g = count_poles(DNU, 40.0, EPSP, EPSG, NUMIN, NUMAX)
+        f1, _, v1 = mixed_mode_frequencies(DNU, EPSP, 80.0, EPSG, Q,
+                                           NUMIN, NUMAX, n_p, n_g)
+        f2, _, v2 = mixed_mode_frequencies(DNU, EPSP, 40.0, EPSG, Q,
+                                           NUMIN, NUMAX, n_p, n_g)
+        assert float(v2.sum()) > 1.5 * float(v1.sum())
+
+    def test_zeta_range_and_pattern(self):
+        n_p, n_g = count_poles(DNU, DPI1, EPSP, EPSG, NUMIN, NUMAX)
+        freqs, zeta, valid = mixed_mode_frequencies(
+            DNU, EPSP, DPI1, EPSG, Q, NUMIN, NUMAX, n_p, n_g)
+        z = np.asarray(zeta)[np.asarray(valid) > 0]
+        f = np.asarray(freqs)[np.asarray(valid) > 0]
+        assert np.all((z >= 0) & (z <= 1))
+        # most modes are g-dominated (zeta ~ 1); the p-dominated dips occur
+        # near the nominal p-mode positions
+        assert np.mean(z) > 0.5
+        nu_p = DNU * (np.arange(int(NUMIN / DNU), int(NUMAX / DNU) + 1)
+                      + EPSP + 0.5)
+        i_min = np.argmin(z)
+        assert np.min(np.abs(f[i_min] - nu_p)) < DNU  # dip near a p mode
+
+    def test_roots_satisfy_eigenvalue_equation(self):
+        """Check the phase form: theta_p == arctan(q tan theta_g) (mod pi) —
+        well-conditioned even where tan is steep near poles."""
+        n_p, n_g = count_poles(DNU, DPI1, EPSP, EPSG, NUMIN, NUMAX)
+        freqs, _, valid = mixed_mode_frequencies(
+            DNU, EPSP, DPI1, EPSG, Q, NUMIN, NUMAX, n_p, n_g)
+        f = np.asarray(freqs, dtype=np.float64)
+        tp = np.pi * (f / DNU - EPSP)
+        tg = np.pi * (1e6 / (DPI1 * f) - EPSG)
+        res = ((tp - np.arctan(Q * np.tan(tg)) + np.pi / 2) % np.pi) - np.pi / 2
+        v = np.asarray(valid) > 0
+        assert np.all(np.abs(res[v]) < 2e-2), np.abs(res[v]).max()
+
+    def test_differentiable_wrt_dpi1(self):
+        n_p, n_g = count_poles(DNU, DPI1, EPSP, EPSG, NUMIN, NUMAX)
+
+        def mean_freq(dpi1):
+            f, z, v = mixed_mode_frequencies(DNU, EPSP, dpi1, EPSG, Q,
+                                             NUMIN, NUMAX, n_p, n_g)
+            return jnp.sum(f * v) / jnp.sum(v)
+        g = jax.grad(mean_freq)(DPI1)
+        assert np.isfinite(float(g))
+
+
+class TestRGBModel:
+    def test_build_and_evaluate(self):
+        from tamcmc_tpu.models.asymptotic import RGBAsymptSpec, build_rgb_asympt
+        n_p, n_g = count_poles(DNU, DPI1, EPSP, EPSG, NUMIN, NUMAX)
+        spec = RGBAsymptSpec(n_orders=5, numin=NUMIN, numax_win=NUMAX,
+                             n_p_poles=n_p, n_g_poles=n_g)
+        fn, layout = build_rgb_asympt(spec)
+        p = np.zeros(layout.ndim, dtype=np.float32)
+        f0 = 100.0 + DNU * (np.arange(5) + EPSP)
+        p[layout.offset("heights"):layout.offset("heights") + 5] = 5.0
+        p[layout.offset("visibilities"):layout.offset("visibilities") + 2] = [1.5, 0.53]
+        p[layout.offset("freq_l0"):layout.offset("freq_l0") + 5] = f0
+        p[layout.offset("freq_l2"):layout.offset("freq_l2") + 5] = f0 - 1.2
+        p[layout.offset("mixed"):layout.offset("mixed") + 3] = [DPI1, EPSG, Q]
+        p[layout.offset("rot"):layout.offset("rot") + 3] = [0.05, 0.4, 0.0]
+        p[layout.offset("widths"):layout.offset("widths") + 5] = 0.15
+        no = layout.offset("noise")
+        p[no:no + 10] = [-1, -1, 2, -1, -1, 2, -1, -1, 2, 0.1]
+        p[layout.offset("inclination")] = np.deg2rad(60.0)
+        nu = jnp.linspace(NUMIN, NUMAX, 20000)
+        m = np.asarray(jax.jit(fn)(jnp.asarray(p), nu))
+        assert np.all(np.isfinite(m)) and np.all(m > 0)
+        # the l=1 forest should put many distinct peaks between p modes
+        above = m > 1.0
+        n_clusters = np.sum(np.diff(above.astype(int)) == 1)
+        assert n_clusters > 15, n_clusters
+
+    def test_gradient_through_solver(self):
+        from tamcmc_tpu.models.asymptotic import RGBAsymptSpec, build_rgb_asympt
+        n_p, n_g = count_poles(DNU, DPI1, EPSP, EPSG, NUMIN, NUMAX)
+        spec = RGBAsymptSpec(n_orders=3, numin=NUMIN, numax_win=NUMAX,
+                             n_p_poles=n_p, n_g_poles=n_g)
+        fn, layout = build_rgb_asympt(spec)
+        p = np.ones(layout.ndim, dtype=np.float32)
+        f0 = 100.0 + DNU * (np.arange(3) + EPSP)
+        p[layout.offset("freq_l0"):layout.offset("freq_l0") + 3] = f0
+        p[layout.offset("freq_l2"):layout.offset("freq_l2") + 3] = f0 - 1.2
+        p[layout.offset("mixed"):layout.offset("mixed") + 3] = [DPI1, EPSG, Q]
+        p[layout.offset("rot"):layout.offset("rot") + 3] = [0.05, 0.4, 0.0]
+        no = layout.offset("noise")
+        p[no:no + 10] = [-1, -1, 2, -1, -1, 2, -1, -1, 2, 0.1]
+        p[layout.offset("inclination")] = 1.0
+        nu = jnp.linspace(NUMIN, NUMAX, 2000)
+        g = jax.grad(lambda q: jnp.sum(fn(q, nu)))(jnp.asarray(p))
+        assert np.all(np.isfinite(np.asarray(g)))
