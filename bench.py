@@ -19,23 +19,24 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-
 import numpy as np
 import jax
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tamcmc_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 
 def main():
+    import sys
+    def log(m):
+        print(f"# {m}", file=sys.stderr, flush=True)
     from tamcmc_tpu.demos import make_demo
     from tamcmc_tpu.sampler import init_state, make_beta_ladder
     from tamcmc_tpu.sampler.driver import make_phase_runner
     from tamcmc_tpu.diagnostics.ess import effective_sample_size
 
+    log("building demo problem")
     problem, hp, plan, meta = make_demo("ms_global", seed=0)
     T, C = meta["n_temps"], meta["n_chains"]
     betas = make_beta_ladder(T, hp.lambda_temp)
@@ -44,6 +45,7 @@ def main():
     state = init_state(problem, hp, T, C, sub)
 
     # --- adapt (not timed): burn-in + learning ---
+    log("demo built; compiling warm runner")
     warm = make_phase_runner(problem, hp, betas, adapt=True, thin=5, n_emit=100)
     t0 = time.time()
     for _ in range(4):                      # 2000 adaptation steps
@@ -51,12 +53,14 @@ def main():
         state, _ = warm(state, sub)
     jax.block_until_ready(state.theta)
     t_warm = time.time() - t0
+    log(f"warmup done in {t_warm:.1f}s")
 
     # --- timed acquire phase ---
     thin, n_emit, reps = 5, 200, 3
     acq = make_phase_runner(problem, hp, betas, adapt=False, thin=thin,
                             n_emit=n_emit)
     key, sub = jax.random.split(key)
+    log("compiling acquire runner")
     state, _ = acq(state, sub)              # compile + settle (not timed)
     jax.block_until_ready(state.theta)
     t1 = time.time()
@@ -67,6 +71,7 @@ def main():
         chunks.append(outs["theta0"])
     jax.block_until_ready(state.theta)
     dt = time.time() - t1
+    log(f"timed acquire done in {dt:.1f}s")
     theta = np.concatenate([np.asarray(c) for c in chunks], axis=0)  # (E,C,Df)
 
     n_steps = reps * n_emit * thin

@@ -24,11 +24,10 @@ import time
 
 import numpy as np
 
-# Compiles are the scarce resource in dev environments; cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+# Compiles are the scarce resource in dev environments; cache them across runs
+# (must use jax.config.update — env vars are ignored by this jax build).
+from tamcmc_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 
 def _build_problem(args):

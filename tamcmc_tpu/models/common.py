@@ -85,6 +85,41 @@ def assemble_components_aj(freqs_per_l, heights_l0, widths_l0,
             jnp.concatenate(ws), jnp.concatenate(bs))
 
 
+def assemble_components_ajAlm(freqs_per_l, heights_l0, widths_l0,
+                              visibilities, inc_rad, a1, a3, a5, eta0,
+                              epsilon, theta0, delta, asym,
+                              filter_kind: str = "gate"):
+    """Odd a-coefficients (a1, a3, a5) + centrifugal eta0 + Alm activity
+    shifts (reference `model_MS_Global_ajAlm_*` [U]): even asphericity is
+    carried by the physical activity model instead of fitted a2/a4/a6."""
+    from tamcmc_tpu.ops.alm import alm_shifts
+    f0 = freqs_per_l[0]
+    aj = jnp.stack([a1, jnp.zeros_like(a1), a3, jnp.zeros_like(a1),
+                    a5, jnp.zeros_like(a1)])
+    hs, cs, ws, bs = [], [], [], []
+    for l, fl in enumerate(freqs_per_l):
+        if fl.shape[0] == 0:
+            continue
+        if l == 0:
+            h_l, w_l = heights_l0, widths_l0
+        else:
+            h_l = interp_monotonic(fl, f0, heights_l0) * visibilities[l - 1]
+            w_l = interp_monotonic(fl, f0, widths_l0)
+        eps = mode_visibility(l, inc_rad)
+        nus = split_frequencies_aj(l, fl, aj)
+        nus = centrifugal_shift_aj(l, nus, eta0, a1)
+        if l > 0:
+            nus = nus + alm_shifts(l, fl, epsilon, theta0, delta,
+                                   kind=filter_kind)
+        H = h_l[:, None] * eps[None, :]
+        W = jnp.broadcast_to(w_l[:, None], nus.shape)
+        B = jnp.broadcast_to(asym, nus.shape)
+        hs.append(H.reshape(-1)); cs.append(nus.reshape(-1))
+        ws.append(W.reshape(-1)); bs.append(B.reshape(-1))
+    return (jnp.concatenate(hs), jnp.concatenate(cs),
+            jnp.concatenate(ws), jnp.concatenate(bs))
+
+
 def dnu_from_freqs(f0):
     """Mean large separation [uHz] from the l=0 ridge (differentiable);
     used for the eta0(Dnu) scaling when the model's eta switch is on."""

@@ -29,7 +29,8 @@ from tamcmc_tpu.utils.constants import eta0_from_dnu, G_CGS, RHO_SUN, DNU_SUN
 from tamcmc_tpu.ops.lorentzian import sum_lorentzians
 from tamcmc_tpu.ops.noise import noise_background
 from tamcmc_tpu.models.common import (
-    assemble_components_a1etaa3, assemble_components_aj, dnu_from_freqs,
+    assemble_components_a1etaa3, assemble_components_aj,
+    assemble_components_ajAlm, dnu_from_freqs,
 )
 import math
 
@@ -39,13 +40,17 @@ class MSGlobalSpec:
     """Static structure of an MS-Global problem (fixes all shapes)."""
     n_per_l: tuple          # e.g. (13, 13, 13, 0) — mode counts for l=0..3
     n_harvey: int = 3
-    rotation: str = "a1etaa3"   # or "aj"
+    rotation: str = "a1etaa3"   # or "aj" / "ajAlm"
+    alm_filter: str = "gate"    # activity filter for ajAlm ("gate"/"triangle")
 
     @property
     def lmax(self):
         return max(l for l, n in enumerate(self.n_per_l) if n > 0 or l == 0)
 
     def layout(self) -> BlockLayout:
+        # rot block sizes: a1etaa3 -> [a1, eta_sw, a3, asym]
+        #                  aj      -> [a1..a6, eta_sw, asym]
+        #                  ajAlm   -> [a1, a3, a5, eta_sw, eps, theta0, delta, asym]
         rot_size = 4 if self.rotation == "a1etaa3" else 8
         spec = [("heights", self.n_per_l[0]),
                 ("visibilities", max(self.lmax, 1) if self.lmax >= 1 else 0)]
@@ -88,6 +93,13 @@ def build_ms_global(spec: MSGlobalSpec):
             eta0 = _eta0_ingraph(freqs_per_l[0], sw)
             H, C, W, B = assemble_components_a1etaa3(
                 freqs_per_l, heights, widths, vis, inc, a1, eta0, a3, asym)
+        elif spec.rotation == "ajAlm":
+            a1, a3, a5, sw = (rot[..., i] for i in range(4))
+            epsilon, theta0, delta, asym = (rot[..., i] for i in range(4, 8))
+            eta0 = _eta0_ingraph(freqs_per_l[0], sw)
+            H, C, W, B = assemble_components_ajAlm(
+                freqs_per_l, heights, widths, vis, inc, a1, a3, a5, eta0,
+                epsilon, theta0, delta, asym, filter_kind=spec.alm_filter)
         else:
             aj = rot[..., 0:6]
             sw, asym = rot[..., 6], rot[..., 7]

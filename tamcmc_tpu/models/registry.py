@@ -42,6 +42,9 @@ _register("model_MS_Global_a1etaa3_HarveyLike", MSGlobalSpec,
 _register("model_MS_Global_aj_HarveyLike", MSGlobalSpec,
           lambda spec: build_ms_global(dataclasses.replace(spec, rotation="aj")),
           "global p-mode fit, a1..a6 a-coefficients, Harvey-like background")
+_register("model_MS_Global_ajAlm_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(dataclasses.replace(spec, rotation="ajAlm")),
+          "global p-mode fit, odd aj + Alm activity asphericity")
 _register("model_RGB_asympt_a1etaa3_HarveyLike", RGBAsymptSpec,
           build_rgb_asympt,
           "RGB/subgiant fit: individual l=0/2 + ARMM l=1 mixed-mode forest")

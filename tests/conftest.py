@@ -32,3 +32,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from tamcmc_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
