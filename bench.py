@@ -23,8 +23,9 @@ import numpy as np
 import jax
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from tamcmc_tpu.utils.cache import enable_compile_cache
+from tamcmc_tpu.utils.cache import enable_compile_cache, ensure_cpu_fallback
 enable_compile_cache()
+ensure_cpu_fallback()
 
 
 def main():

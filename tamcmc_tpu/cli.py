@@ -26,8 +26,9 @@ import numpy as np
 
 # Compiles are the scarce resource in dev environments; cache them across runs
 # (must use jax.config.update — env vars are ignored by this jax build).
-from tamcmc_tpu.utils.cache import enable_compile_cache
+from tamcmc_tpu.utils.cache import enable_compile_cache, ensure_cpu_fallback
 enable_compile_cache()
+ensure_cpu_fallback()
 
 
 def _build_problem(args):

@@ -31,12 +31,24 @@ def _chi2_noise(key, model):
 
 
 def _make_synthetic(fn, truth, nu, key):
-    """model eval + chi2(2dof) noise in ONE jit call: eager op-by-op dispatch
-    is pathologically slow over this sandbox's TPU tunnel."""
+    """model eval + chi2(2dof) noise in ONE jit call, pinned to the host CPU
+    device: eager dispatch and even medium-size one-off compiles are
+    pathologically slow over this sandbox's TPU tunnel, and data generation
+    is a one-shot setup task — keep the TPU for the sampler."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+
     @jax.jit
     def gen(t, n, k):
         m = fn(t, n)
         return m, _chi2_noise(k, m)
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            m, s = gen(truth, nu, key)
+        return m, s
     return gen(truth, nu, key)
 
 

@@ -13,6 +13,21 @@ import jax
 _DONE = False
 
 
+def ensure_cpu_fallback() -> None:
+    """Make sure the host-CPU platform is registered alongside the TPU.
+
+    The sandbox pins JAX_PLATFORMS=axon (TPU tunnel only); one-shot setup
+    work (demo data generation, small evals) wants a CpuDevice.  Must run
+    before the backend initialises.
+    """
+    try:
+        plat = jax.config.jax_platforms
+        if plat and "cpu" not in str(plat).split(","):
+            jax.config.update("jax_platforms", f"{plat},cpu")
+    except Exception:
+        pass
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     global _DONE
     if _DONE:
