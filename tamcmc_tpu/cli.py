@@ -108,23 +108,42 @@ def cmd_run(args):
         key, sub = jax.random.split(key)
         state = init_state(problem, hp, n_temps, n_chains, sub)
 
+    from tamcmc_tpu.utils.metrics import MetricsLogger
+    metrics = MetricsLogger(str(outdir / "metrics.jsonl"))
+    metrics.log("run_start", n_temps=n_temps, n_chains=n_chains,
+                ndim_free=problem.ndim_free, seed=args.seed)
     writer = OutputWriter(str(outdir), problem.free_names, n_temps, n_chains)
     results = {}
     t0 = time.time()
+    profiling = getattr(args, "profile", False)
     for name, n_steps, adapt in plan.phases():
         if n_steps <= 0 or name in done_phases:
             continue
         key, sub = jax.random.split(key)
         tp = time.time()
-        state, outs = run_phase(
-            problem, hp, betas, state, sub, n_steps, adapt=adapt,
-            thin=plan.thin, chunk=plan.chunk,
-            on_chunk=lambda o, _n=name: writer.append_chunk(_n, o))
+        import contextlib
+        prof_ctx = (jax.profiler.trace(str(outdir / "jax_trace"))
+                    if profiling and name == "A" else contextlib.nullcontext())
+        with prof_ctx:
+            state, outs = run_phase(
+                problem, hp, betas, state, sub, n_steps, adapt=adapt,
+                thin=plan.thin, chunk=plan.chunk,
+                on_chunk=lambda o, _n=name: writer.append_chunk(_n, o))
         writer.finalize_phase(name)
         results[name] = outs
         save_checkpoint(str(ckpt), state, key, phase=name)
         dt = time.time() - tp
         acc = float(np.asarray(state.acc_rate)[0])
+        swap = np.asarray(state.nswap_acc) / np.maximum(
+            np.asarray(state.nswap_att), 1)
+        metrics.log("phase_end", phase=name, steps=n_steps, wall_s=round(dt, 2),
+                    steps_per_s=round(n_steps / dt, 1),
+                    cold_acceptance=round(acc, 4),
+                    acceptance=[round(float(a), 4)
+                                for a in np.asarray(state.acc_rate)],
+                    swap_rates=[round(float(s), 4) for s in swap[:-1]],
+                    sigma=[round(float(s), 6)
+                           for s in np.exp(np.asarray(state.log_sigma))])
         print(f"phase {name}: {n_steps} steps in {dt:.1f}s "
               f"({n_steps / dt:.0f} it/s), cold acc={acc:.3f}")
     writer.close()
@@ -149,6 +168,34 @@ def cmd_run(args):
                                 model_at_median=model_med)
             print(f"report artifacts: {', '.join(made)}")
     print(f"total wall time {time.time() - t0:.1f}s; outputs in {outdir}")
+
+
+def cmd_batch(args):
+    """Serial multi-star runs from a presets table — the reference's
+    `config_presets.cfg` workflow (SURVEY.md section 2 'Config system')."""
+    import argparse
+    import tomllib
+    with open(args.presets, "rb") as f:
+        doc = tomllib.load(f)
+    stars = doc.get("star", [])
+    if not stars:
+        raise SystemExit(f"{args.presets}: no [[star]] entries")
+    base = pathlib.Path(args.presets).parent
+    for i, star in enumerate(stars):
+        ns = argparse.Namespace(
+            demo=star.get("demo"), problem=star.get("problem"),
+            seed=int(star.get("seed", 0)),
+            temps=star.get("temps"), chains=star.get("chains"),
+            burnin=star.get("burnin"), learning=star.get("learning"),
+            acquire=star.get("acquire"), thin=star.get("thin"),
+            outdir=str(base / star.get("outdir", f"star_{i}")),
+            resume=args.resume, no_report=star.get("no_report", False),
+            profile=False, max_rows=40)
+        if ns.problem and not pathlib.Path(ns.problem).is_absolute():
+            ns.problem = str(base / ns.problem)
+        print(f"=== star {i + 1}/{len(stars)}: "
+              f"{ns.problem or ns.demo} -> {ns.outdir} ===")
+        cmd_run(ns)
 
 
 def cmd_export(args):
@@ -220,8 +267,18 @@ def main(argv=None):
     pr.add_argument("--outdir", required=True)
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--no-report", action="store_true")
+    pr.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of the Acquire phase")
     pr.add_argument("--max-rows", type=int, default=40)
     pr.set_defaults(fn=cmd_run)
+
+    pb = sub.add_parser("batch", help="run a presets table of stars serially "
+                                      "(reference config_presets.cfg workflow)")
+    pb.add_argument("--presets", required=True,
+                    help="TOML with [[star]] entries: problem/demo, outdir, "
+                         "optional overrides (temps, chains, burnin, ...)")
+    pb.add_argument("--resume", action="store_true")
+    pb.set_defaults(fn=cmd_batch)
 
     pe = sub.add_parser("export", help="binary samples -> ASCII (bin2txt)")
     pe.add_argument("--outdir", required=True)

@@ -169,11 +169,19 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
         emp = jnp.einsum("tci,tcj->tij", dev, dev) / C      # (T, Df, Df)
         cov = state.cov + gamma * (emp - state.cov)
         eye = jnp.eye(Df, dtype=cov.dtype)
-        chol = jnp.linalg.cholesky(cov + hp.eps_cov * eye)
-        # SPD guard: if cholesky produced NaNs, keep the previous factor
-        bad = jnp.any(jnp.isnan(chol), axis=(-2, -1), keepdims=True)
-        chol = jnp.where(bad, state.chol, chol)
-        cov = jnp.where(bad, state.cov, cov)
+
+        def refresh(cv):
+            ch = jnp.linalg.cholesky(cv + hp.eps_cov * eye)
+            # SPD guard: if cholesky produced NaNs, keep the previous factor
+            bad = jnp.any(jnp.isnan(ch), axis=(-2, -1), keepdims=True)
+            return jnp.where(bad, state.chol, ch)
+
+        # Cholesky is latency-bound on TPU (sequential panels of tiny ops);
+        # refresh the proposal factor only every dN_chol steps — mu/Sigma
+        # keep adapting every step, the factor lags a few steps (harmless
+        # under Robbins-Monro gains).
+        chol = jax.lax.cond((step % hp.dN_chol) == 0, refresh,
+                            lambda cv: state.chol, cov)
         log_sigma = jnp.clip(
             state.log_sigma + gamma * (inst_acc - hp.target_acceptance),
             hp.log_sigma_min, hp.log_sigma_max)

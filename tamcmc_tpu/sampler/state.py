@@ -54,6 +54,9 @@ class MALAHyper:
     gain_k0: float = 10.0
     gain_alpha: float = 0.6
     eps_cov: float = 1e-8           # ridge added before cholesky
+    dN_chol: int = 10               # refresh chol(Sigma) every K adapt steps:
+                                    # small-matrix Cholesky is latency-bound
+                                    # on TPU; mu/Sigma still update every step
     log_sigma_min: float = -15.0    # Atchade projection bounds on the scale
     log_sigma_max: float = 4.0
     sigma0_scale: float = 1.0       # initial sigma = 2.38/sqrt(Df) * this

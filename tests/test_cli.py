@@ -1,0 +1,87 @@
+"""CLI workflow tests (CPU, tiny runs): run -> stats/export -> resume skip;
+batch presets; metrics JSONL; model-eval."""
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_cli(argv):
+    from tamcmc_tpu.cli import main
+    return main(argv)
+
+
+@pytest.fixture(scope="module")
+def fit_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fit")
+    run_cli(["run", "--demo", "single_lorentzian", "--outdir", str(out),
+             "--burnin", "100", "--learning", "300", "--acquire", "300",
+             "--thin", "4", "--temps", "2", "--chains", "4", "--no-report"])
+    return out
+
+
+class TestRun:
+    def test_outputs_exist(self, fit_dir):
+        for f in ("A_samples.bin", "A_samples.hdr", "A_chains.npz",
+                  "restore.npz", "summary.json", "metrics.jsonl"):
+            assert (fit_dir / f).exists(), f
+
+    def test_summary_recovers_scale(self, fit_dir):
+        rows = json.load(open(fit_dir / "summary.json"))
+        by = {r["name"]: r for r in rows}
+        # loose: short chain, but nu0 must be near 50
+        assert abs(by["nu0"]["median"] - 50.0) < 2.0
+
+    def test_metrics_jsonl(self, fit_dir):
+        lines = [json.loads(l) for l in open(fit_dir / "metrics.jsonl")]
+        events = [l["event"] for l in lines]
+        assert "run_start" in events
+        phases = [l for l in lines if l["event"] == "phase_end"]
+        assert {p["phase"] for p in phases} == {"B", "L", "A"}
+        assert all(p["steps_per_s"] > 0 for p in phases)
+        assert all(len(p["swap_rates"]) == 1 for p in phases)  # T=2 -> 1 pair
+
+    def test_resume_skips_done_phases(self, fit_dir, capsys):
+        run_cli(["run", "--demo", "single_lorentzian", "--outdir", str(fit_dir),
+                 "--burnin", "100", "--learning", "300", "--acquire", "300",
+                 "--thin", "4", "--temps", "2", "--chains", "4",
+                 "--no-report", "--resume"])
+        outp = capsys.readouterr().out
+        assert "resumed from" in outp
+        assert "phase B" not in outp  # all phases already done
+
+    def test_stats_and_export(self, fit_dir, capsys):
+        run_cli(["stats", "--outdir", str(fit_dir), "--phase", "A"])
+        out = capsys.readouterr().out
+        assert "nu0" in out and "ESS" in out
+        run_cli(["export", "--outdir", str(fit_dir), "--phase", "A",
+                 "--thin", "2"])
+        txt = np.loadtxt(fit_dir / "A_samples.txt")
+        assert txt.shape[1] == 4
+
+
+class TestBatch:
+    def test_presets_table(self, tmp_path, capsys):
+        presets = tmp_path / "presets.toml"
+        presets.write_text(
+            '[[star]]\ndemo = "single_lorentzian"\noutdir = "s1"\n'
+            'burnin = 50\nlearning = 100\nacquire = 100\nthin = 4\n'
+            'temps = 2\nchains = 2\nno_report = true\n'
+            '[[star]]\ndemo = "single_lorentzian"\noutdir = "s2"\nseed = 1\n'
+            'burnin = 50\nlearning = 100\nacquire = 100\nthin = 4\n'
+            'temps = 2\nchains = 2\nno_report = true\n')
+        run_cli(["batch", "--presets", str(presets)])
+        assert (tmp_path / "s1" / "summary.json").exists()
+        assert (tmp_path / "s2" / "summary.json").exists()
+        out = capsys.readouterr().out
+        assert "star 2/2" in out
+
+
+class TestModelEval:
+    def test_writes_table(self, tmp_path):
+        out = tmp_path / "m.txt"
+        run_cli(["model-eval", "--demo", "single_lorentzian",
+                 "--out", str(out)])
+        t = np.loadtxt(out)
+        assert t.shape[1] == 3 and t.shape[0] == 8192

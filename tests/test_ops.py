@@ -138,6 +138,35 @@ class TestLorentzian:
                    for h, c, w, b in zip(H, C, W, B))
         np.testing.assert_allclose(got, want, rtol=2e-5)
 
+    def test_custom_vjp_matches_autodiff(self):
+        """Analytic backward pass vs autodiff of the naive profile sum,
+        including the asymmetry and nu cotangents."""
+        rng = np.random.default_rng(3)
+        nu = jnp.linspace(90.0, 110.0, 257)
+        H = jnp.asarray(rng.uniform(1, 5, 11), jnp.float32)
+        C = jnp.asarray(rng.uniform(95, 105, 11), jnp.float32)
+        W = jnp.asarray(rng.uniform(0.5, 3, 11), jnp.float32)
+        B = jnp.asarray(rng.uniform(-0.1, 0.1, 11), jnp.float32)
+        g = jnp.asarray(rng.normal(size=257), jnp.float32)
+
+        def naive(nu, H, C, W, B):
+            w = jnp.maximum(W, 1e-6)[:, None]
+            x = 2.0 * (nu[None, :] - C[:, None]) / w
+            num = (1.0 + B[:, None] * x) ** 2 + (B[:, None]) ** 2
+            return jnp.sum(H[:, None] * num / (1.0 + x * x), axis=0)
+
+        def loss_custom(*args):
+            return jnp.sum(g * sum_lorentzians(*args))
+
+        def loss_naive(*args):
+            return jnp.sum(g * naive(*args))
+
+        g_c = jax.grad(loss_custom, argnums=(0, 1, 2, 3, 4))(nu, H, C, W, B)
+        g_n = jax.grad(loss_naive, argnums=(0, 1, 2, 3, 4))(nu, H, C, W, B)
+        for a, b, name in zip(g_c, g_n, "nu H C W B".split()):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4, err_msg=name)
+
     def test_zero_height_padding(self):
         nu = jnp.linspace(0.0, 10.0, 11)
         out = sum_lorentzians(nu, jnp.zeros(3), jnp.ones(3) * 5, jnp.ones(3),
