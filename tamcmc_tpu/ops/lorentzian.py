@@ -13,20 +13,40 @@ Profile (with Nigam & Kosovichev 1998-style asymmetry `b`):
     L(nu) = H * [(1 + b*x)^2 + b^2] / (1 + x^2)
 b = 0 recovers the symmetric Lorentzian H / (1 + x^2).
 
-Performance/memory design (measured on TPU v5e, see git history): naive
-autodiff of the (ncomp x N) accumulation saves gigabytes of residuals when
-batched over hundreds of walkers (XLA stacks per-scan-step intermediates in
-the vjp), OOMing HBM.  `sum_lorentzians` therefore carries an ANALYTIC
-custom VJP: forward is a blocked scan with an (N,) accumulator; backward is
-one more blocked pass contracting the output cotangent against closed-form
-partials.  Peak memory O(_BLOCK * N) per walker, and the backward is cheaper
-than an autodiff replay.
+Performance design (measured on TPU v5e, see git history):
+
+* **Factored algebra.** Expanding the numerator, (1+bx)^2 + b^2 =
+  1 + 2bx + b^2(1 + x^2), so
+      L = H b^2  +  (H + 2Hb·x) / (1 + x^2).
+  The H b^2 term is frequency-independent — a per-component scalar folded
+  into the accumulator once — and the remaining per-bin work is one
+  multiply for x (2/Gamma precomputed per component), one fma for 1+x^2,
+  one reciprocal, one fma, one accumulate.  This removes one full division
+  and the squaring from the naive form (divisions lower to multi-op
+  reciprocal-refine sequences on the TPU VPU — they dominated the old
+  kernel's cycle count).
+
+* **No scan.** The (ncomp x N) broadcast is left to XLA as one fused
+  loop+reduction; a `lax.scan` over component blocks (earlier design) paid
+  HBM round-trips of the (N,) accumulator between steps.  A python-level
+  chunk loop (unrolled, still fusable) bounds the intermediate size for
+  very large component counts (RGB mixed-mode models).
+
+* **Analytic custom VJP.** Naive autodiff of the accumulation saves
+  gigabytes of residuals when batched over hundreds of walkers; the
+  backward here is ONE fused pass computing closed-form cotangents with
+  shared elementwise temps (u = g/v, p = x·u, q = p/v, r = x·q, s = x·r)
+  and five reductions.  The grid `nu` is data, never a parameter: its
+  cotangent is returned as zeros without computing the pass the old
+  kernel wasted on it.
 """
 
 import jax
 import jax.numpy as jnp
 
-_BLOCK = 8  # components per scan step; peak live memory ~ batch*_BLOCK*N
+_CHUNK = 64   # components per unrolled chunk; bounds live (chunk, N) temps
+
+_WFLOOR = 1e-6
 
 
 def lorentzian_profile(nu, height, nu0, width, asym=0.0):
@@ -35,32 +55,26 @@ def lorentzian_profile(nu, height, nu0, width, asym=0.0):
     All of (height, nu0, width, asym) may broadcast; width is clamped to a
     small positive floor for differentiability safety.
     """
-    w = jnp.maximum(width, 1e-6)
+    w = jnp.maximum(width, _WFLOOR)
     x = 2.0 * (nu - nu0) / w
     num = (1.0 + asym * x) ** 2 + asym**2
     return height * num / (1.0 + x * x)
 
 
-def _pad_blocks(a, pad):
-    return jnp.pad(a, (0, pad)).reshape(-1, _BLOCK)
-
-
-def _forward(nu, heights, nu0s, widths, asyms):
+def _fwd_impl(nu, heights, nu0s, widths, asyms):
+    w = jnp.maximum(widths, _WFLOOR)
+    iw = 2.0 / w
+    hb2 = 2.0 * heights * asyms
     ncomp = heights.shape[0]
-    pad = (-ncomp) % _BLOCK
-    hb = _pad_blocks(heights, pad)
-    cb = _pad_blocks(nu0s, pad)
-    wb = jnp.maximum(_pad_blocks(widths, pad), 1e-6)
-    bb = _pad_blocks(asyms, pad)
-
-    def body(acc, blk):
-        h, c, w, b = blk
-        x = 2.0 * (nu[None, :] - c[:, None]) / w[:, None]     # (_BLOCK, N)
-        num = (1.0 + b[:, None] * x) ** 2 + (b[:, None]) ** 2
-        return acc + jnp.sum(h[:, None] * num / (1.0 + x * x), axis=0), None
-
-    acc, _ = jax.lax.scan(body, jnp.zeros_like(nu), (hb, cb, wb, bb))
-    return acc
+    # frequency-independent continuum of the asymmetric terms: sum_k H_k b_k^2
+    out = jnp.broadcast_to(jnp.sum(heights * asyms * asyms), nu.shape)
+    for s in range(0, ncomp, _CHUNK):
+        e = min(s + _CHUNK, ncomp)
+        x = (nu[None, :] - nu0s[s:e, None]) * iw[s:e, None]   # (chunk, N)
+        inv = 1.0 / (1.0 + x * x)
+        out = out + jnp.sum(
+            (heights[s:e, None] + hb2[s:e, None] * x) * inv, axis=0)
+    return out
 
 
 @jax.custom_vjp
@@ -71,57 +85,64 @@ def sum_lorentzians(nu, heights, nu0s, widths, asyms):
     Dense masked evaluation: components with height == 0 contribute exactly 0
     (used for static padding of variable mode counts).
     """
-    return _forward(nu, heights, nu0s, widths, asyms)
+    return _fwd_impl(nu, heights, nu0s, widths, asyms)
 
 
 def _fwd(nu, heights, nu0s, widths, asyms):
-    out = _forward(nu, heights, nu0s, widths, asyms)
-    return out, (nu, heights, nu0s, widths, asyms)
+    return _fwd_impl(nu, heights, nu0s, widths, asyms), \
+        (nu, heights, nu0s, widths, asyms)
 
 
 def _bwd(res, g):
-    """Analytic cotangents.  With u=(1+bx)^2+b^2, v=1+x^2, L=h u/v:
-      dL/dh = u/v
-      dL/dx = h (2b(1+bx) v - 2x u) / v^2,  dx/dc = -2/w, dx/dw = -x/w,
-                                            dx/dnu_i = +2/w
-      dL/db = h (2x(1+bx) + 2b) / v
+    """Closed-form cotangents of the factored form
+        L = H b^2 + (H + 2Hb·x) * inv,   inv = 1/(1+x^2),  x = (nu-c)·(2/w):
+      dL/dH = b^2 + (1 + 2bx)·inv
+      dL/db = 2Hb + 2H·x·inv
+      dL/dx = 2Hb·inv − (H + 2Hb·x)·2x·inv^2
+      dx/dc = −2/w,  dx/dw = −x/w.
+    G = Σ g is shared by every component's dL/dH, dL/db constant parts.
     """
     nu, heights, nu0s, widths, asyms = res
+    w = jnp.maximum(widths, _WFLOOR)
+    iw = 2.0 / w
+    G = jnp.sum(g)
     ncomp = heights.shape[0]
-    pad = (-ncomp) % _BLOCK
-    hb = _pad_blocks(heights, pad)
-    cb = _pad_blocks(nu0s, pad)
-    wb = jnp.maximum(_pad_blocks(widths, pad), 1e-6)
-    bb = _pad_blocks(asyms, pad)
+    ghs, gcs, gws, gbs = [], [], [], []
+    for sidx in range(0, ncomp, _CHUNK):
+        e = min(sidx + _CHUNK, ncomp)
+        hh = heights[sidx:e, None]
+        bb = asyms[sidx:e, None]
+        hb2 = 2.0 * hh * bb
+        x = (nu[None, :] - nu0s[sidx:e, None]) * iw[sidx:e, None]
+        inv = 1.0 / (1.0 + x * x)
+        u = g[None, :] * inv
+        p = x * u
+        q = p * inv
+        r = x * q
+        s = x * r
+        Su = jnp.sum(u, axis=1, keepdims=True)
+        Sp = jnp.sum(p, axis=1, keepdims=True)
+        Sq = jnp.sum(q, axis=1, keepdims=True)
+        Sr = jnp.sum(r, axis=1, keepdims=True)
+        Ss = jnp.sum(s, axis=1, keepdims=True)
+        gh = bb * bb * G + Su + 2.0 * bb * Sp
+        gb = hb2 * G + 2.0 * hh * Sp
+        # Σ g·dL/dx and Σ g·x·dL/dx from the shared reductions
+        dx = hb2 * Su - 2.0 * hh * Sq - 2.0 * hb2 * Sr
+        dxx = hb2 * Sp - 2.0 * hh * Sr - 2.0 * hb2 * Ss
+        gc = -iw[sidx:e, None] * dx
+        gw = -dxx / w[sidx:e, None]
+        ghs.append(gh[:, 0])
+        gcs.append(gc[:, 0])
+        gws.append(gw[:, 0])
+        gbs.append(gb[:, 0])
 
-    def body(gnu, blk):
-        h, c, w, b = blk                                   # (_BLOCK,)
-        x = 2.0 * (nu[None, :] - c[:, None]) / w[:, None]  # (_BLOCK, N)
-        one_bx = 1.0 + b[:, None] * x
-        u = one_bx**2 + (b[:, None]) ** 2
-        v = 1.0 + x * x
-        inv_v = 1.0 / v
-        dLdh_terms = u * inv_v                              # (_BLOCK, N)
-        dLdx = h[:, None] * (2.0 * b[:, None] * one_bx
-                             - 2.0 * x * u * inv_v) * inv_v
-        dLdb = h[:, None] * (2.0 * x * one_bx + 2.0 * b[:, None]) * inv_v
-        gh = jnp.sum(g[None, :] * dLdh_terms, axis=1)       # (_BLOCK,)
-        gx = g[None, :] * dLdx
-        gc = jnp.sum(gx, axis=1) * (-2.0 / w)
-        gw = jnp.sum(gx * (-x), axis=1) / w
-        gb = jnp.sum(g[None, :] * dLdb, axis=1)
-        gnu = gnu + jnp.sum(gx * (2.0 / w[:, None]), axis=0)
-        return gnu, (gh, gc, gw, gb)
-
-    gnu, (gh, gc, gw, gb) = jax.lax.scan(
-        body, jnp.zeros_like(nu), (hb, cb, wb, bb))
-
-    def unpad(a):
-        return a.reshape(-1)[:ncomp]
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     # width clamp: no gradient where the clamp was active
-    gw = jnp.where(widths > 1e-6, unpad(gw), 0.0)
-    return (gnu, unpad(gh), unpad(gc), gw, unpad(gb))
+    gw_all = jnp.where(widths > _WFLOOR, cat(gws), 0.0)
+    return (jnp.zeros_like(nu), cat(ghs), cat(gcs), gw_all, cat(gbs))
 
 
 sum_lorentzians.defvjp(_fwd, _bwd)

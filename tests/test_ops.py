@@ -140,7 +140,9 @@ class TestLorentzian:
 
     def test_custom_vjp_matches_autodiff(self):
         """Analytic backward pass vs autodiff of the naive profile sum,
-        including the asymmetry and nu cotangents."""
+        including the asymmetry cotangent.  The grid `nu` is data, never a
+        parameter: its cotangent is defined as zero by the kernel (skipping
+        a full backward pass), so it is excluded here."""
         rng = np.random.default_rng(3)
         nu = jnp.linspace(90.0, 110.0, 257)
         H = jnp.asarray(rng.uniform(1, 5, 11), jnp.float32)
@@ -161,11 +163,14 @@ class TestLorentzian:
         def loss_naive(*args):
             return jnp.sum(g * naive(*args))
 
-        g_c = jax.grad(loss_custom, argnums=(0, 1, 2, 3, 4))(nu, H, C, W, B)
-        g_n = jax.grad(loss_naive, argnums=(0, 1, 2, 3, 4))(nu, H, C, W, B)
-        for a, b, name in zip(g_c, g_n, "nu H C W B".split()):
+        g_c = jax.grad(loss_custom, argnums=(1, 2, 3, 4))(nu, H, C, W, B)
+        g_n = jax.grad(loss_naive, argnums=(1, 2, 3, 4))(nu, H, C, W, B)
+        for a, b, name in zip(g_c, g_n, "H C W B".split()):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-4, err_msg=name)
+        # nu cotangent: zeros by contract
+        gnu = jax.grad(loss_custom, argnums=0)(nu, H, C, W, B)
+        assert not np.any(np.asarray(gnu))
 
     def test_zero_height_padding(self):
         nu = jnp.linspace(0.0, 10.0, 11)
