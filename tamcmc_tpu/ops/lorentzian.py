@@ -146,3 +146,109 @@ def _bwd(res, g):
 
 
 sum_lorentzians.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Truncated-window variant — the reference's actual model definition
+# ---------------------------------------------------------------------------
+#
+# The reference evaluates each Lorentzian ONLY inside |nu - nu0| <= trunc *
+# Gamma (`optimum_lorentzian_calc_*` [U]); bins outside the window get
+# exactly zero.  This variant reproduces those semantics with static shapes:
+# a per-bin mask (never a dynamic slice), so XLA sees dense shapes while the
+# model matches the reference's truncation behaviour bit-for-bit in spirit.
+# `windows` is the per-component HALF-width (trunc * Gamma); pass +inf for
+# dense (untruncated) evaluation.
+#
+# Shape-generic over leading batch dims: params (..., NC), nu (N,) ->
+# (..., N).  This is the jnp reference path; the TPU Pallas kernel in
+# ops/pallas_lorentzian.py implements identical semantics with tile-level
+# window SKIPPING (data-dependent time, static shapes).
+
+def _trunc_fwd_impl(nu, heights, nu0s, widths, asyms, windows):
+    w = jnp.maximum(widths, _WFLOOR)
+    iw = 2.0 / w
+    hb2 = 2.0 * heights * asyms
+    hbb = heights * asyms * asyms
+    ncomp = heights.shape[-1]
+    lead = heights.shape[:-1]
+    out = jnp.zeros(lead + nu.shape, dtype=nu.dtype)
+    for s in range(0, ncomp, _CHUNK):
+        e = min(s + _CHUNK, ncomp)
+        c = nu0s[..., s:e, None]
+        x = (nu - c) * iw[..., s:e, None]              # (..., chunk, N)
+        m = (jnp.abs(nu - c) <= windows[..., s:e, None]).astype(nu.dtype)
+        inv = 1.0 / (1.0 + x * x)
+        contrib = hbb[..., s:e, None] \
+            + (heights[..., s:e, None] + hb2[..., s:e, None] * x) * inv
+        out = out + jnp.sum(contrib * m, axis=-2)
+    return out
+
+
+@jax.custom_vjp
+def sum_lorentzians_trunc(nu, heights, nu0s, widths, asyms, windows):
+    """Windowed Lorentzian accumulation (reference truncation semantics).
+
+    nu: (N,); heights/nu0s/widths/asyms/windows: (..., NC) -> (..., N).
+    A component contributes 0 outside |nu - nu0| <= window; window = +inf
+    recovers the dense profile.  Zero-height components contribute 0.
+    """
+    return _trunc_fwd_impl(nu, heights, nu0s, widths, asyms, windows)
+
+
+def _trunc_fwd(nu, heights, nu0s, widths, asyms, windows):
+    return _trunc_fwd_impl(nu, heights, nu0s, widths, asyms, windows), \
+        (nu, heights, nu0s, widths, asyms, windows)
+
+
+def _trunc_bwd(res, g):
+    """Same closed forms as _bwd, with every reduction masked by the window.
+    The window itself gets no gradient (hard edges, like the reference)."""
+    nu, heights, nu0s, widths, asyms, windows = res
+    w = jnp.maximum(widths, _WFLOOR)
+    iw = 2.0 / w
+    ncomp = heights.shape[-1]
+    ghs, gcs, gws, gbs = [], [], [], []
+    for sidx in range(0, ncomp, _CHUNK):
+        e = sidx + min(_CHUNK, ncomp - sidx)
+        hh = heights[..., sidx:e, None]
+        bb = asyms[..., sidx:e, None]
+        hb2 = 2.0 * hh * bb
+        c = nu0s[..., sidx:e, None]
+        x = (nu - c) * iw[..., sidx:e, None]
+        m = (jnp.abs(nu - c) <= windows[..., sidx:e, None]).astype(nu.dtype)
+        inv = 1.0 / (1.0 + x * x)
+        u = (g[..., None, :] * m) * inv
+        p = x * u
+        q = p * inv
+        r = x * q
+        s = x * r
+        Gk = jnp.sum(g[..., None, :] * m, axis=-1)     # masked sum of g
+        Su = jnp.sum(u, axis=-1)
+        Sp = jnp.sum(p, axis=-1)
+        Sq = jnp.sum(q, axis=-1)
+        Sr = jnp.sum(r, axis=-1)
+        Ss = jnp.sum(s, axis=-1)
+        h2 = hh[..., 0]
+        b2 = bb[..., 0]
+        hb2s = hb2[..., 0]
+        gh = b2 * b2 * Gk + Su + 2.0 * b2 * Sp
+        gb = hb2s * Gk + 2.0 * h2 * Sp
+        dx = hb2s * Su - 2.0 * h2 * Sq - 2.0 * hb2s * Sr
+        dxx = hb2s * Sp - 2.0 * h2 * Sr - 2.0 * hb2s * Ss
+        gc = -iw[..., sidx:e] * dx
+        gw = -dxx / w[..., sidx:e]
+        ghs.append(gh)
+        gcs.append(gc)
+        gws.append(gw)
+        gbs.append(gb)
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+    gw_all = jnp.where(widths > _WFLOOR, cat(gws), 0.0)
+    return (jnp.zeros_like(nu), cat(ghs), cat(gcs), gw_all, cat(gbs),
+            jnp.zeros_like(windows))
+
+
+sum_lorentzians_trunc.defvjp(_trunc_fwd, _trunc_bwd)
