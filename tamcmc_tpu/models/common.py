@@ -30,12 +30,15 @@ def interp_monotonic(x, xp, fp):
     return jnp.interp(x, xp, fp)
 
 
-def assemble_components_a1etaa3(freqs_per_l, heights_l0, widths_l0,
-                                visibilities, inc_rad, a1, eta0, a3, asym):
-    """Build flat component arrays (H, C, W, B) for the a1etaa3 rotation law.
+def assemble_components_a1x(freqs_per_l, heights_l0, widths_l0,
+                            visibilities, inc_rad, a1_per_l, eta0, a3, asym):
+    """Build flat component arrays (H, C, W, B) under the a1-eta-a3 splitting
+    with a per-degree splitting table.
 
     freqs_per_l: list indexed by l of (N_l,) frequency arrays (l = 0..lmax).
     visibilities: (lmax,) sampled V^2 for l=1..lmax.
+    a1_per_l: list indexed by l; entry l is the a1 for that degree — a scalar
+    (a1etaa3 / a1l families) or an (N_l,) per-order array (a1n / a1nl).
     Returns (heights, centers, widths, asyms) each (ncomp,).
     """
     f0 = freqs_per_l[0]
@@ -49,7 +52,7 @@ def assemble_components_a1etaa3(freqs_per_l, heights_l0, widths_l0,
             h_l = interp_monotonic(fl, f0, heights_l0) * visibilities[l - 1]
             w_l = interp_monotonic(fl, f0, widths_l0)
         eps = mode_visibility(l, inc_rad)                      # (2l+1,)
-        nus = split_frequencies_a1etaa3(l, fl, a1, eta0, a3)   # (N_l, 2l+1)
+        nus = split_frequencies_a1etaa3(l, fl, a1_per_l[l], eta0, a3)
         H = h_l[:, None] * eps[None, :]
         W = jnp.broadcast_to(w_l[:, None], nus.shape)
         B = jnp.broadcast_to(asym, nus.shape)
@@ -57,6 +60,15 @@ def assemble_components_a1etaa3(freqs_per_l, heights_l0, widths_l0,
         ws.append(W.reshape(-1)); bs.append(B.reshape(-1))
     return (jnp.concatenate(hs), jnp.concatenate(cs),
             jnp.concatenate(ws), jnp.concatenate(bs))
+
+
+def assemble_components_a1etaa3(freqs_per_l, heights_l0, widths_l0,
+                                visibilities, inc_rad, a1, eta0, a3, asym):
+    """a1etaa3 rotation law: one shared a1 for every degree (reference
+    `model_MS_Global_a1etaa3_*` [U])."""
+    return assemble_components_a1x(freqs_per_l, heights_l0, widths_l0,
+                                   visibilities, inc_rad,
+                                   [a1] * len(freqs_per_l), eta0, a3, asym)
 
 
 def assemble_components_aj(freqs_per_l, heights_l0, widths_l0,

@@ -29,8 +29,8 @@ from tamcmc_tpu.utils.constants import eta0_from_dnu, G_CGS, RHO_SUN, DNU_SUN
 from tamcmc_tpu.ops.lorentzian import sum_lorentzians
 from tamcmc_tpu.ops.noise import noise_background
 from tamcmc_tpu.models.common import (
-    assemble_components_a1etaa3, assemble_components_aj,
-    assemble_components_ajAlm, dnu_from_freqs,
+    assemble_components_a1etaa3, assemble_components_a1x,
+    assemble_components_aj, assemble_components_ajAlm, dnu_from_freqs,
 )
 import math
 
@@ -40,18 +40,28 @@ class MSGlobalSpec:
     """Static structure of an MS-Global problem (fixes all shapes)."""
     n_per_l: tuple          # e.g. (13, 13, 13, 0) — mode counts for l=0..3
     n_harvey: int = 3
-    rotation: str = "a1etaa3"   # or "aj" / "ajAlm"
+    rotation: str = "a1etaa3"   # a1etaa3 | a1l | a1n | a1nl | aj | ajAlm
     alm_filter: str = "gate"    # activity filter for ajAlm ("gate"/"triangle")
+    noise_kind: str = "harvey_like"   # or "harvey_1985"
 
     @property
     def lmax(self):
         return max(l for l, n in enumerate(self.n_per_l) if n > 0 or l == 0)
 
+    def rot_size(self) -> int:
+        # rot block ABI per rotation law (reference model families [U]):
+        #  a1etaa3 -> [a1, eta_sw, a3, asym]
+        #  a1l     -> [a1_l1, a1_l2, eta_sw, a3, asym]  (l=3 uses the mean)
+        #  a1n     -> [a1_0..a1_{N0-1}, eta_sw, a3, asym]
+        #  a1nl    -> [a1l1_0.., a1l2_0.., eta_sw, a3, asym]
+        #  aj      -> [a1..a6, eta_sw, asym]
+        #  ajAlm   -> [a1, a3, a5, eta_sw, eps, theta0, delta, asym]
+        n0 = self.n_per_l[0]
+        return {"a1etaa3": 4, "a1l": 5, "a1n": n0 + 3, "a1nl": 2 * n0 + 3,
+                "aj": 8, "ajAlm": 8}[self.rotation]
+
     def layout(self) -> BlockLayout:
-        # rot block sizes: a1etaa3 -> [a1, eta_sw, a3, asym]
-        #                  aj      -> [a1..a6, eta_sw, asym]
-        #                  ajAlm   -> [a1, a3, a5, eta_sw, eps, theta0, delta, asym]
-        rot_size = 4 if self.rotation == "a1etaa3" else 8
+        rot_size = self.rot_size()
         spec = [("heights", self.n_per_l[0]),
                 ("visibilities", max(self.lmax, 1) if self.lmax >= 1 else 0)]
         for l in range(4):
@@ -82,8 +92,9 @@ def build_ms_global(spec: MSGlobalSpec):
         heights = layout.get(params, "heights")
         widths = layout.get(params, "widths")
         vis = layout.get(params, "visibilities")
-        freqs_per_l = [layout.get(params, f"freq_l{l}") for l in range(4)
-                       if n_per_l[l] > 0 or l == 0]
+        # always 4 entries (size-0 arrays for absent degrees) so the list
+        # index IS the degree — assemblers skip empties
+        freqs_per_l = [layout.get(params, f"freq_l{l}") for l in range(4)]
         rot = layout.get(params, "rot")
         noise = layout.get(params, "noise")
         inc = layout.get(params, "inclination")[..., 0]
@@ -93,6 +104,29 @@ def build_ms_global(spec: MSGlobalSpec):
             eta0 = _eta0_ingraph(freqs_per_l[0], sw)
             H, C, W, B = assemble_components_a1etaa3(
                 freqs_per_l, heights, widths, vis, inc, a1, eta0, a3, asym)
+        elif spec.rotation in ("a1l", "a1n", "a1nl"):
+            n0 = n_per_l[0]
+            if spec.rotation == "a1l":
+                a1_1, a1_2 = rot[..., 0], rot[..., 1]
+                sw, a3, asym = rot[..., 2], rot[..., 3], rot[..., 4]
+                # l=0 unused (no splitting); l=3 convention: mean of l=1,2 [U]
+                a1_per_l = [a1_1, a1_1, a1_2, 0.5 * (a1_1 + a1_2)]
+            elif spec.rotation == "a1n":
+                a1n = rot[..., 0:n0]
+                sw, a3, asym = rot[..., n0], rot[..., n0 + 1], rot[..., n0 + 2]
+                a1_per_l = [a1n[..., :n_per_l[l]] for l in range(4)]
+            else:  # a1nl: separate per-order tables for l=1 and l=2
+                a1n1 = rot[..., 0:n0]
+                a1n2 = rot[..., n0:2 * n0]
+                sw, a3, asym = (rot[..., 2 * n0], rot[..., 2 * n0 + 1],
+                                rot[..., 2 * n0 + 2])
+                a1m = 0.5 * (a1n1 + a1n2)
+                a1_per_l = [a1n1[..., :n_per_l[0]], a1n1[..., :n_per_l[1]],
+                            a1n2[..., :n_per_l[2]], a1m[..., :n_per_l[3]]]
+            eta0 = _eta0_ingraph(freqs_per_l[0], sw)
+            H, C, W, B = assemble_components_a1x(
+                freqs_per_l, heights, widths, vis, inc, a1_per_l,
+                eta0, a3, asym)
         elif spec.rotation == "ajAlm":
             a1, a3, a5, sw = (rot[..., i] for i in range(4))
             epsilon, theta0, delta, asym = (rot[..., i] for i in range(4, 8))
@@ -108,7 +142,8 @@ def build_ms_global(spec: MSGlobalSpec):
                 freqs_per_l, heights, widths, vis, inc, aj, eta0, asym)
 
         modes = sum_lorentzians(nu, H, C, W, B)
-        bg = noise_background(nu, noise, n_harvey=spec.n_harvey)
+        bg = noise_background(nu, noise, n_harvey=spec.n_harvey,
+                              kind=spec.noise_kind)
         return modes + bg
 
     return model_fn, layout

@@ -39,6 +39,23 @@ def _register(name, spec_cls, builder, doc=""):
 _register("model_MS_Global_a1etaa3_HarveyLike", MSGlobalSpec,
           lambda spec: build_ms_global(spec),
           "global p-mode fit, a1/eta0/a3 rotation, Harvey-like background")
+_register("model_MS_Global_a1etaa3_HarveyLike_Classic", MSGlobalSpec,
+          lambda spec: build_ms_global(spec),
+          "alias of a1etaa3_HarveyLike (the reference's _Classic differs "
+          "only in .model-file IO conventions [U])")
+_register("model_MS_Global_a1etaa3_Harvey1985", MSGlobalSpec,
+          lambda spec: build_ms_global(
+              dataclasses.replace(spec, noise_kind="harvey_1985")),
+          "a1etaa3 rotation with the classic Harvey (1985) noise profile")
+_register("model_MS_Global_a1l_etaa3_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(dataclasses.replace(spec, rotation="a1l")),
+          "per-degree splittings a1(l=1), a1(l=2); l=3 uses their mean")
+_register("model_MS_Global_a1n_etaa3_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(dataclasses.replace(spec, rotation="a1n")),
+          "per-radial-order splittings a1(n), shared across degrees")
+_register("model_MS_Global_a1nl_etaa3_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(dataclasses.replace(spec, rotation="a1nl")),
+          "per-(order, degree) splittings: a1(n, l=1) and a1(n, l=2) tables")
 _register("model_MS_Global_aj_HarveyLike", MSGlobalSpec,
           lambda spec: build_ms_global(dataclasses.replace(spec, rotation="aj")),
           "global p-mode fit, a1..a6 a-coefficients, Harvey-like background")

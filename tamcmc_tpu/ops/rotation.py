@@ -70,7 +70,9 @@ def split_frequencies_a1etaa3(l: int, nu_nl, a1, eta0, a3):
     """Frequencies of the 2l+1 azimuthal components [uHz].
 
     nu_nl, a1, a3 in uHz; eta0 in s^2 (the a1 entering the centrifugal term
-    is converted to Hz).  Returns shape nu_nl.shape + (2l+1,).
+    is converted to Hz).  `a1` may be a scalar (one splitting for the ridge,
+    the a1etaa3 family) or shaped like nu_nl (per-order splittings, the
+    a1n/a1nl families).  Returns shape nu_nl.shape + (2l+1,).
     """
     m = jnp.asarray(np.arange(-l, l + 1), dtype=jnp.float32)
     q = jnp.asarray(qlm(l), dtype=jnp.float32)
@@ -79,7 +81,8 @@ def split_frequencies_a1etaa3(l: int, nu_nl, a1, eta0, a3):
         dtype=jnp.float32,
     )
     nu = jnp.asarray(nu_nl)[..., None]
-    return nu + m * a1 + eta0 * (a1 * 1e-6) ** 2 * nu * q + a3 * p3
+    a1b = jnp.asarray(a1)[..., None]
+    return nu + m * a1b + eta0 * (a1b * 1e-6) ** 2 * nu * q + a3 * p3
 
 
 def split_frequencies_aj(l: int, nu_nl, aj_coeffs):

@@ -121,6 +121,89 @@ class TestMSGlobal:
                                    np.asarray(fn_j(pj, nu)), rtol=2e-4)
 
 
+class TestA1Variants:
+    """Per-degree / per-order splitting families (reference a1l/a1n/a1nl)."""
+    spec = MSGlobalSpec(n_per_l=(3, 3, 3, 0))
+    nu = jnp.linspace(1900.0, 2350.0, 2048)
+
+    def _equal_a1_params(self, name, a1=1.0):
+        fn, lay = build_model(name, self.spec)
+        p = make_ms_global_params(lay, self.spec.n_per_l)
+        ro, rs = lay.offset("rot"), lay.size("rot")
+        n0 = self.spec.n_per_l[0]
+        if name.endswith("a1l_etaa3_HarveyLike"):
+            rot = [a1, a1, 1.0, 0.01, 0.02]
+        elif name.endswith("a1n_etaa3_HarveyLike"):
+            rot = [a1] * n0 + [1.0, 0.01, 0.02]
+        elif name.endswith("a1nl_etaa3_HarveyLike"):
+            rot = [a1] * (2 * n0) + [1.0, 0.01, 0.02]
+        else:
+            rot = [a1, 1.0, 0.01, 0.02]
+        assert len(rot) == rs, (name, len(rot), rs)
+        p = p.at[ro:ro + rs].set(jnp.asarray(rot, jnp.float32))
+        return fn, lay, p
+
+    @pytest.mark.parametrize("name", [
+        "model_MS_Global_a1l_etaa3_HarveyLike",
+        "model_MS_Global_a1n_etaa3_HarveyLike",
+        "model_MS_Global_a1nl_etaa3_HarveyLike",
+        "model_MS_Global_a1etaa3_HarveyLike_Classic",
+    ])
+    def test_collapses_to_a1etaa3_when_uniform(self, name):
+        """With every splitting entry equal, all families reduce to the
+        shared-a1 model."""
+        fn_ref, lay_ref, p_ref = self._equal_a1_params(
+            "model_MS_Global_a1etaa3_HarveyLike")
+        fn, lay, p = self._equal_a1_params(name)
+        np.testing.assert_allclose(np.asarray(fn(p, self.nu)),
+                                   np.asarray(fn_ref(p_ref, self.nu)),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_a1l_splits_degrees_independently(self):
+        fn, lay, p = self._equal_a1_params(
+            "model_MS_Global_a1l_etaa3_HarveyLike")
+        ro = lay.offset("rot")
+        p2 = p.at[ro + 1].set(2.5)          # change only a1(l=2)
+        m1 = np.asarray(fn(p, self.nu))
+        m2 = np.asarray(fn(p2, self.nu))
+        # l=1 region (near +50 uHz offsets) unchanged; l=2 region changes
+        f0 = 2000.0
+        l1_bins = np.abs(np.asarray(self.nu) - (f0 + 50.0)) < 5.0
+        l2_bins = np.abs(np.asarray(self.nu) - (f0 - 8.0)) < 5.0
+        np.testing.assert_allclose(m1[l1_bins], m2[l1_bins], rtol=1e-5)
+        assert np.max(np.abs(m1[l2_bins] - m2[l2_bins])) > 1e-3
+
+    def test_a1n_splits_orders_independently(self):
+        fn, lay, p = self._equal_a1_params(
+            "model_MS_Global_a1n_etaa3_HarveyLike")
+        ro = lay.offset("rot")
+        p2 = p.at[ro + 0].set(3.0)          # change a1 of the first order only
+        m1 = np.asarray(fn(p, self.nu))
+        m2 = np.asarray(fn(p2, self.nu))
+        # last order's l=1 multiplet untouched
+        lastl1 = np.abs(np.asarray(self.nu) - (2200.0 + 50.0)) < 5.0
+        firstl1 = np.abs(np.asarray(self.nu) - (2000.0 + 50.0)) < 5.0
+        np.testing.assert_allclose(m1[lastl1], m2[lastl1], rtol=1e-5)
+        assert np.max(np.abs(m1[firstl1] - m2[firstl1])) > 1e-3
+
+    def test_harvey1985_variant_differs_only_in_background(self):
+        fn_a, lay = build_model("model_MS_Global_a1etaa3_HarveyLike",
+                                self.spec)
+        fn_b, _ = build_model("model_MS_Global_a1etaa3_Harvey1985", self.spec)
+        p = make_ms_global_params(lay, self.spec.n_per_l)
+        ma, mb = np.asarray(fn_a(p, self.nu)), np.asarray(fn_b(p, self.nu))
+        assert ma.shape == mb.shape and np.all(mb > 0)
+        assert np.max(np.abs(ma - mb)) > 1e-6   # different noise law
+
+    def test_grad_finite_all_variants(self):
+        for name in ("model_MS_Global_a1l_etaa3_HarveyLike",
+                     "model_MS_Global_a1n_etaa3_HarveyLike",
+                     "model_MS_Global_a1nl_etaa3_HarveyLike"):
+            fn, lay, p = self._equal_a1_params(name)
+            g = jax.grad(lambda q: jnp.sum(fn(q, self.nu)))(p)
+            assert np.all(np.isfinite(np.asarray(g))), name
+
+
 class TestMSLocal:
     def test_local_modes(self):
         spec = MSLocalSpec(n_per_l=(1, 1, 0, 0))
