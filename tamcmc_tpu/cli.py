@@ -133,17 +133,17 @@ def cmd_run(args):
         results[name] = outs
         save_checkpoint(str(ckpt), state, key, phase=name)
         dt = time.time() - tp
-        acc = float(np.asarray(state.acc_rate)[0])
+        acc_t = np.asarray(state.acc_rate).mean(axis=-1)     # walker mean
+        acc = float(acc_t[0])
         swap = np.asarray(state.nswap_acc) / np.maximum(
             np.asarray(state.nswap_att), 1)
         metrics.log("phase_end", phase=name, steps=n_steps, wall_s=round(dt, 2),
                     steps_per_s=round(n_steps / dt, 1),
                     cold_acceptance=round(acc, 4),
-                    acceptance=[round(float(a), 4)
-                                for a in np.asarray(state.acc_rate)],
+                    acceptance=[round(float(a), 4) for a in acc_t],
                     swap_rates=[round(float(s), 4) for s in swap[:-1]],
-                    sigma=[round(float(s), 6)
-                           for s in np.exp(np.asarray(state.log_sigma))])
+                    sigma=[round(float(s), 6) for s in
+                           np.exp(np.asarray(state.log_sigma)).mean(axis=-1)])
         print(f"phase {name}: {n_steps} steps in {dt:.1f}s "
               f"({n_steps / dt:.0f} it/s), cold acc={acc:.3f}")
     writer.close()

@@ -175,10 +175,18 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
         priors = PriorTable.from_rows(rows)
         assert priors.ndim == layout.ndim, (priors.ndim, layout.ndim)
         p0 = truth.copy()
-        # perturb free params away from truth
+        # Perturb free params by ~0.3 PRIOR-scale sigmas, not a fraction of
+        # the value: a 5%-of-value kick moves a 2200 uHz frequency ~100 prior
+        # sigmas outside its Gaussian(1.0) prior, stranding every walker in a
+        # prior-gradient desert it takes >1e5 steps to cross (the mis-mixing
+        # this caused was the worst statistical bug of round 1).  The
+        # reference's .model files likewise start near the expected solution.
         free = priors.free_mask
-        p0[free] = p0[free] * (1 + 0.05 * rng.standard_normal(free.sum())) \
-            + 0.02 * rng.standard_normal(free.sum())
+        from tamcmc_tpu.sampler.mala import default_init_scales
+        _prob0 = Problem(model_fn=fn, layout=layout, priors=priors, nu=nu,
+                         spec=spec, params0=jnp.asarray(p0, jnp.float32))
+        scales = np.asarray(default_init_scales(_prob0))   # (Df,) prior-based
+        p0[free] = p0[free] + 3.0 * scales * rng.standard_normal(free.sum())
         problem = Problem(model_fn=fn, layout=layout, priors=priors,
                           nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32))
         hp = MALAHyper(use_drift=True, dN_mixing=10,

@@ -12,7 +12,9 @@ Mesh axes:
 Layout of the SamplerState pytree (T, C, Df leading axes):
   theta/gradL/gradP (T,C,Df) -> P('temp','chain',None)
   logL/logP         (T,C)    -> P('temp','chain')
-  mu (T,Df), cov/chol (T,Df,Df), log_sigma (T,) -> P('temp', ...)
+  mu (T,C,Df), cov/chol (T,C,Df,Df), log_sigma/acc_rate (T,C)
+                             -> P('temp','chain', ...) — per-walker
+                                adaptation is fully local, no collective
   counters: replicated scalars / P('temp') vectors
 
 Data (nu, spec) are replicated: grids are ~1e5 bins and fit in HBM; the
@@ -48,14 +50,15 @@ def state_shardings(mesh: Mesh) -> SamplerState:
         logP=s("temp", "chain"),
         gradL=s("temp", "chain", None),
         gradP=s("temp", "chain", None),
-        mu=s("temp", None),
-        cov=s("temp", None, None),
-        chol=s("temp", None, None),
-        log_sigma=s("temp"),
+        mu=s("temp", "chain", None),
+        cov=s("temp", "chain", None, None),
+        chol=s("temp", "chain", None, None),
+        log_sigma=s("temp", "chain"),
         step=s(),
         naccept=s("temp"),
         nprop=s(),
-        acc_rate=s("temp"),
+        acc_rate=s("temp", "chain"),
         nswap_att=s("temp"),
         nswap_acc=s("temp"),
+        scales0=s(None),
     )

@@ -22,6 +22,7 @@ fallback if GSPMD's choices prove suboptimal; profile first.)
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tamcmc_tpu.parallel.mesh import state_shardings
@@ -53,9 +54,9 @@ def make_sharded_phase_runner(problem, hp, betas, mesh, adapt: bool,
             "theta0": state.theta[0],
             "logL": state.logL,
             "logP0": state.logP[0],
-            "log_sigma": state.log_sigma,
-            "acc_rate": state.acc_rate,
-            "mu0": state.mu[0],
+            "log_sigma": jnp.mean(state.log_sigma, 1),
+            "acc_rate": jnp.mean(state.acc_rate, 1),
+            "mu0": jnp.mean(state.mu[0], 0),
         }
         return state, record
 

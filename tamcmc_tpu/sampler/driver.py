@@ -65,12 +65,12 @@ def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
         keys = jax.random.split(key, thin)
         state, _ = jax.lax.scan(raw, state, keys)
         record = {
-            "theta0": state.theta[0],          # (C, Df) coldest rung
-            "logL": state.logL,                # (T, C)
-            "logP0": state.logP[0],            # (C,)
-            "log_sigma": state.log_sigma,      # (T,)
-            "acc_rate": state.acc_rate,        # (T,)
-            "mu0": state.mu[0],                # (Df,)
+            "theta0": state.theta[0],                    # (C, Df) coldest rung
+            "logL": state.logL,                          # (T, C)
+            "logP0": state.logP[0],                      # (C,)
+            "log_sigma": jnp.mean(state.log_sigma, 1),   # (T,) walker mean
+            "acc_rate": jnp.mean(state.acc_rate, 1),     # (T,)
+            "mu0": jnp.mean(state.mu[0], 0),             # (Df,) cold-rung mean
         }
         return state, record
 

@@ -9,8 +9,10 @@ Reference equivalent: `MALA::D_MALA` + the Robbins-Monro updates in
     reproduces the reference's RW behaviour exactly (the q-ratio terms cancel).
   * one step advances ALL (T temperatures x C walkers) simultaneously —
     the reference's serial per-chain loop becomes batched linear algebra.
-  * adaptation statistics (mu_t, Sigma_t, sigma_t) are per-temperature and
-    are updated from the walker ensemble mean (psum-ready across devices).
+  * adaptation statistics (mu, Sigma, sigma) are PER WALKER, Robbins-Monro
+    over each walker's own trajectory — exactly the reference's per-chain
+    scheme batched over (T, C); no cross-walker reduction exists in the hot
+    path (see state.py for why ensemble-covariance adaptation was removed).
 
 Proposal:    x' = x + (sigma^2/2) Sigma D(x) + sigma chol(Sigma) xi
 Truncation:  D(x) = g * min(1, delta/|g|),  g = beta gradL + gradP
@@ -38,10 +40,9 @@ def _truncate_drift(g, delta):
 
 
 def _batched_tri_solve(chol, b):
-    """Solve L y = b for per-temperature L: chol (T,Df,Df), b (T,C,Df)."""
-    def solve_one(L, B):
-        return jax.scipy.linalg.solve_triangular(L, B.T, lower=True).T
-    return jax.vmap(solve_one)(chol, b)
+    """Solve L y = b per walker: chol (T,C,Df,Df), b (T,C,Df)."""
+    return jax.scipy.linalg.solve_triangular(
+        chol, b[..., None], lower=True)[..., 0]
 
 
 def init_state(problem: Problem, hp: MALAHyper, n_temps: int, n_chains: int,
@@ -62,20 +63,22 @@ def init_state(problem: Problem, hp: MALAHyper, n_temps: int, n_chains: int,
     jit_noise = jitter * scales * jax.random.normal(k1, (n_temps, n_chains, Df))
     theta0 = jnp.broadcast_to(x0, (n_temps, n_chains, Df)) + jit_noise
     (logL, logP), (gL, gP) = problem.batched_logparts_and_grad(theta0)
-    cov0 = jnp.broadcast_to(jnp.diag(scales**2), (n_temps, Df, Df))
-    chol0 = jnp.broadcast_to(jnp.diag(scales), (n_temps, Df, Df))
+    TC = (n_temps, n_chains)
+    cov0 = jnp.broadcast_to(jnp.diag(scales**2), TC + (Df, Df))
+    chol0 = jnp.broadcast_to(jnp.diag(scales), TC + (Df, Df))
     sigma0 = hp.sigma0_scale * 2.38 / np.sqrt(max(Df, 1))
     return SamplerState(
         theta=theta0, logL=logL, logP=logP, gradL=gL, gradP=gP,
-        mu=jnp.broadcast_to(x0, (n_temps, Df)),
+        mu=jnp.broadcast_to(x0, TC + (Df,)),
         cov=cov0, chol=chol0,
-        log_sigma=jnp.full((n_temps,), float(np.log(sigma0))),
+        log_sigma=jnp.full(TC, float(np.log(sigma0))),
         step=jnp.asarray(0, dtype=jnp.int32),
         naccept=jnp.zeros((n_temps,)),
         nprop=jnp.asarray(0.0),
-        acc_rate=jnp.full((n_temps,), hp.target_acceptance),
+        acc_rate=jnp.full(TC, hp.resolved_target()),
         nswap_att=jnp.zeros((n_temps,)),
         nswap_acc=jnp.zeros((n_temps,)),
+        scales0=scales,
     )
 
 
@@ -111,21 +114,21 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
     """
     T, C, Df = state.theta.shape
     k_prop, k_acc = jax.random.split(key)
-    sigma = jnp.exp(state.log_sigma)                       # (T,)
-    s2 = (sigma**2)[:, None, None]
-    b = betas[:, None]                                      # (T,1)
+    sigma = jnp.exp(state.log_sigma)                       # (T, C)
+    s2 = (sigma**2)[..., None]                              # (T, C, 1)
+    b = betas[:, None]                                      # (T, 1)
 
     # --- forward proposal ---
     if hp.use_drift:
         g = b[..., None] * state.gradL + state.gradP        # tempered grad
         drift = _truncate_drift(g, hp.drift_delta)
-        Sd = jnp.einsum("tij,tcj->tci", state.cov, drift)
+        Sd = jnp.einsum("tcij,tcj->tci", state.cov, drift)
         mean_fwd = state.theta + 0.5 * s2 * Sd
     else:
         mean_fwd = state.theta
     xi = jax.random.normal(k_prop, (T, C, Df), dtype=state.theta.dtype)
-    prop = mean_fwd + sigma[:, None, None] * jnp.einsum(
-        "tij,tcj->tci", state.chol, xi)
+    prop = mean_fwd + sigma[..., None] * jnp.einsum(
+        "tcij,tcj->tci", state.chol, xi)
 
     # --- evaluate proposal ---
     (logLp, logPp), (gLp, gPp) = problem.batched_logparts_and_grad(prop)
@@ -134,10 +137,10 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
     if hp.use_drift:
         gp = b[..., None] * gLp + gPp
         drift_p = _truncate_drift(gp, hp.drift_delta)
-        Sdp = jnp.einsum("tij,tcj->tci", state.cov, drift_p)
+        Sdp = jnp.einsum("tcij,tcj->tci", state.cov, drift_p)
         mean_rev = prop + 0.5 * s2 * Sdp
         r = _batched_tri_solve(state.chol, state.theta - mean_rev)
-        logq_rev = -0.5 * jnp.sum(r**2, axis=-1) / (sigma**2)[:, None]
+        logq_rev = -0.5 * jnp.sum(r**2, axis=-1) / sigma**2
         logq_fwd = -0.5 * jnp.sum(xi**2, axis=-1)
         q_corr = logq_rev - logq_fwd
     else:
@@ -156,22 +159,38 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
     gradL = jnp.where(acc3 > 0, gLp, state.gradL)
     gradP = jnp.where(acc3 > 0, gPp, state.gradP)
 
-    inst_acc = jnp.mean(jnp.minimum(jnp.exp(dlog), 1.0), axis=1)  # (T,)
+    inst_acc = jnp.minimum(jnp.exp(dlog), 1.0)              # (T, C)
     acc_rate = (1 - hp.acc_smooth) * state.acc_rate + hp.acc_smooth * inst_acc
 
     step = state.step + 1
     if adapt:
         k = step.astype(theta.dtype)
         gamma = hp.gain_c0 / (hp.gain_k0 + k) ** hp.gain_alpha
-        mean_c = jnp.mean(theta, axis=1)                    # (T, Df) psum-ready
-        mu = state.mu + gamma * (mean_c - state.mu)
-        dev = theta - mu[:, None, :]
-        emp = jnp.einsum("tci,tcj->tij", dev, dev) / C      # (T, Df, Df)
-        cov = state.cov + gamma * (emp - state.cov)
+        if hp.cov_estimator == "ensemble":
+            # pooled cross-walker moments per temperature: with C walkers in
+            # the typical set this estimates the posterior covariance at
+            # O(1/C) variance PER STEP — no trajectory-shrinkage feedback
+            mean_c = jnp.mean(theta, axis=1, keepdims=True)   # (T, 1, Df)
+            mu = state.mu + gamma * (mean_c - state.mu)       # bcast (T,C,Df)
+            dev = theta - mu
+            emp = jnp.mean(dev[..., :, None] * dev[..., None, :],
+                           axis=1, keepdims=True)             # (T, 1, Df, Df)
+            cov = state.cov + gamma * (emp - state.cov)
+        else:
+            # per-walker expanding-window moments (Haario-style 1/k gain:
+            # full-history averages, no exponential forgetting — a fixed-ish
+            # gain on a single trajectory self-shrinks: cov tracks short-time
+            # increments, steps shrink, cov shrinks further)
+            gm = 1.0 / jnp.maximum(k, 1.0)
+            mu = state.mu + gm * (theta - state.mu)           # (T, C, Df)
+            dev = theta - mu
+            emp = dev[..., :, None] * dev[..., None, :]
+            cov = state.cov + gm * (emp - state.cov)
         eye = jnp.eye(Df, dtype=cov.dtype)
+        floor = hp.cov_floor * state.scales0**2               # (Df,)
 
         def refresh(cv):
-            ch = jnp.linalg.cholesky(cv + hp.eps_cov * eye)
+            ch = jnp.linalg.cholesky(cv + jnp.diag(floor) + hp.eps_cov * eye)
             # SPD guard: if cholesky produced NaNs, keep the previous factor
             bad = jnp.any(jnp.isnan(ch), axis=(-2, -1), keepdims=True)
             return jnp.where(bad, state.chol, ch)
@@ -183,7 +202,7 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
         chol = jax.lax.cond((step % hp.dN_chol) == 0, refresh,
                             lambda cv: state.chol, cov)
         log_sigma = jnp.clip(
-            state.log_sigma + gamma * (inst_acc - hp.target_acceptance),
+            state.log_sigma + gamma * (inst_acc - hp.resolved_target()),
             hp.log_sigma_min, hp.log_sigma_max)
     else:
         mu, cov, chol, log_sigma = state.mu, state.cov, state.chol, state.log_sigma
@@ -195,4 +214,5 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
         nprop=state.nprop + 1.0,
         acc_rate=acc_rate,
         nswap_att=state.nswap_att, nswap_acc=state.nswap_acc,
+        scales0=state.scales0,
     )

@@ -4,11 +4,19 @@ Reference equivalent: the mutable per-chain members of `MALA`/`Model_def`
 (`MALA.h`, `model_def.h` [U]; SURVEY.md section 2 "Adaptive MALA sampler").
 TPU-first redesign: ALL tempered chains and walkers live as leading array
 axes (T = temperatures, C = walkers per temperature, Df = free dims) of one
-immutable pytree carried through `lax.scan`.  Adaptation statistics
-(mu, cov, sigma) are PER TEMPERATURE (they stay with the rung across swaps —
-standard adaptive-parallel-tempering practice; SURVEY.md section 3.5 flags
-this as the parity-sensitive choice to re-verify against the C++).
-"""
+immutable pytree carried through `lax.scan`.
+
+Adaptation statistics (mu, cov, sigma) are PER WALKER, learned from each
+walker's own trajectory — the reference's per-chain Atchade scheme, simply
+batched.  (An earlier design adapted one covariance per temperature from the
+walker ENSEMBLE cross-section; it deadlocks whenever walkers disperse before
+converging: the between-walker spread keeps Sigma large, sigma collapses to
+compensate, and every walker freezes.  Trajectory-based adaptation has no
+such failure mode and needs no cross-walker reduction — each walker is an
+independent reference-style chain, which is also the better sharding story.)
+On tempering swaps the stats stay with the (rung, walker slot), not the
+wandering parameter vector — standard adaptive-parallel-tempering practice
+(SURVEY.md section 3.5 flags this as the parity-sensitive choice)."""
 
 from __future__ import annotations
 
@@ -27,16 +35,17 @@ class SamplerState:
     logP: jnp.ndarray        # (T, C) log-prior
     gradL: jnp.ndarray       # (T, C, Df) d logL / d theta
     gradP: jnp.ndarray       # (T, C, Df) d logP / d theta
-    mu: jnp.ndarray          # (T, Df) adaptive proposal mean
-    cov: jnp.ndarray         # (T, Df, Df) adaptive proposal covariance
-    chol: jnp.ndarray        # (T, Df, Df) cholesky(cov + eps I)
-    log_sigma: jnp.ndarray   # (T,) adaptive global scale (log)
+    mu: jnp.ndarray          # (T, C, Df) per-walker adaptive proposal mean
+    cov: jnp.ndarray         # (T, C, Df, Df) per-walker proposal covariance
+    chol: jnp.ndarray        # (T, C, Df, Df) cholesky(cov + eps I)
+    log_sigma: jnp.ndarray   # (T, C) per-walker adaptive scale (log)
     step: jnp.ndarray        # () global iteration counter (adaptation clock)
     naccept: jnp.ndarray     # (T,) accepted proposals (summed over walkers /C)
     nprop: jnp.ndarray       # () proposals per (t, c) slot
-    acc_rate: jnp.ndarray    # (T,) smoothed instantaneous acceptance rate
+    acc_rate: jnp.ndarray    # (T, C) smoothed instantaneous acceptance rate
     nswap_att: jnp.ndarray   # (T,) swap attempts of pair (t, t+1); last row 0
     nswap_acc: jnp.ndarray   # (T,) accepted swaps of pair (t, t+1)
+    scales0: jnp.ndarray     # (Df,) initial per-param scales (cov floor)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,9 +55,25 @@ class MALAHyper:
     Reference equivalents are the MALA section of `config_default.cfg`
     (epsilon1/epsilon2/A1/delta/delta_x ... [U]); names here are descriptive.
     """
-    target_acceptance: float = TARGET_ACCEPTANCE
+    target_acceptance: float = None  # None -> optimal-scaling default by
+                                    # proposal type: 0.574 with the MALA
+                                    # drift, 0.234 for random walk (Roberts &
+                                    # Rosenthal; the reference always targets
+                                    # 0.234 because its drift is off [U])
     use_drift: bool = True          # False -> adaptive RW-Metropolis (the
                                     # reference's default operating mode [U])
+    cov_estimator: str = "ensemble"  # "ensemble": pooled cross-walker
+                                    #   covariance per temperature (needs
+                                    #   C > 1; statistically free with a
+                                    #   walker ensemble and immune to the
+                                    #   single-trajectory shrinkage spiral)
+                                    # "walker": each walker's own expanding-
+                                    #   window moments (the reference's
+                                    #   per-chain scheme; use when C is tiny)
+    cov_floor: float = 1e-4         # proposal cov += floor*diag(scales0^2):
+                                    # keeps a minimum exploration scale so a
+                                    # collapsed/deficient estimate can never
+                                    # freeze a walker permanently
     drift_delta: float = 1000.0     # Atchade truncation bound on |grad|
     gain_c0: float = 1.0            # gamma_k = c0 / (k0 + k)^alpha
     gain_k0: float = 10.0
@@ -63,3 +88,8 @@ class MALAHyper:
     dN_mixing: int = 10             # tempering swap cadence (reference name)
     lambda_temp: float = 1.4        # geometric ladder T_k = lambda^k
     acc_smooth: float = 0.02        # EMA factor for reported acceptance
+
+    def resolved_target(self) -> float:
+        if self.target_acceptance is not None:
+            return self.target_acceptance
+        return 0.574 if self.use_drift else TARGET_ACCEPTANCE

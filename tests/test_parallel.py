@@ -36,7 +36,9 @@ class TestMesh:
         from jax.sharding import PartitionSpec as P
         assert len(ss.theta.sharding.device_set) == 8
         assert ss.theta.sharding.spec == P("temp", "chain", None)
-        assert ss.mu.sharding.spec == P("temp", None)  # replicated over chain
+        # per-walker adaptation stats shard over BOTH mesh axes (fully local)
+        assert ss.mu.sharding.spec == P("temp", "chain", None)
+        assert ss.cov.sharding.spec == P("temp", "chain", None, None)
 
 
 class TestShardedEquivalence:

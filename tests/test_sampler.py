@@ -102,13 +102,19 @@ class TestStatistical:
 
     @pytest.mark.parametrize("hp", [HP_RW, HP_MALA], ids=["rw", "mala"])
     def test_std_gaussian_moments(self, hp):
+        """Moments measured on a FROZEN acquire phase after adaptation —
+        the reference's B/L -> A protocol.  (Measuring while adaptation is
+        live carries the standard finite-gain adaptive-MCMC bias: the
+        trajectory-adapted covariance tracks each walker's own excursions,
+        inflating sampled variance by ~5-10% until the Robbins-Monro gain
+        decays; the Acquire phase exists precisely to avoid this.)"""
         p = std_gaussian(2)
         betas, s = make(p, hp, T=2, C=8, seed=42)
-        s, outs = run_phase(p, hp, betas, s, jax.random.PRNGKey(1),
-                            n_steps=4000, adapt=True, thin=2, chunk=500)
-        # discard first half as burn-in
-        th = outs["theta0"][500:]           # (emits, C, D)
-        flat = th.reshape(-1, 2)
+        s, _ = run_phase(p, hp, betas, s, jax.random.PRNGKey(1),
+                         n_steps=4000, adapt=True, thin=2, chunk=500)
+        s, outs = run_phase(p, hp, betas, s, jax.random.PRNGKey(7),
+                            n_steps=16000, adapt=False, thin=2, chunk=1000)
+        flat = outs["theta0"][2000:].reshape(-1, 2)
         mean = flat.mean(axis=0)
         std = flat.std(axis=0)
         assert np.all(np.abs(mean) < 0.15), mean
@@ -119,13 +125,16 @@ class TestStatistical:
         p = correlated_gaussian(cov)
         hp = HP_RW
         betas, s = make(p, hp, T=1, C=8, seed=3)
-        s, outs = run_phase(p, hp, betas, s, jax.random.PRNGKey(2),
-                            n_steps=6000, adapt=True, thin=2, chunk=500)
-        flat = outs["theta0"][1000:].reshape(-1, 2)
+        s, _ = run_phase(p, hp, betas, s, jax.random.PRNGKey(2),
+                         n_steps=6000, adapt=True, thin=2, chunk=500)
+        s, outs = run_phase(p, hp, betas, s, jax.random.PRNGKey(9),
+                            n_steps=4000, adapt=False, thin=2, chunk=500)
+        flat = outs["theta0"].reshape(-1, 2)
         emp = np.corrcoef(flat.T)[0, 1]
         assert emp > 0.75, emp
-        # learned proposal covariance should pick up the correlation
-        learned = np.asarray(s.cov[0])
+        # learned per-walker proposal covariances should pick up the
+        # correlation (check the cold rung's walker average)
+        learned = np.asarray(s.cov[0]).mean(axis=0)
         corr = learned[0, 1] / np.sqrt(learned[0, 0] * learned[1, 1])
         assert corr > 0.6, corr
 
