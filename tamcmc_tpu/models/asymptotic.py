@@ -47,14 +47,17 @@ class RGBAsymptSpec:
     n_p_poles: int              # static pole-count pads (ops.armm.count_poles)
     n_g_poles: int
     n_harvey: int = 3
+    width_kind: str = "free"    # "free" (per-order) or "app2016" (6-param
+                                # relation; reference *_AppWidth_* variants)
 
     def layout(self) -> BlockLayout:
         n0 = self.n_orders
+        nw = n0 if self.width_kind == "free" else 6
         return BlockLayout.make([
             ("heights", n0), ("visibilities", 2),
             ("freq_l0", n0), ("freq_l2", n0),
             ("mixed", 3), ("rot", 3),
-            ("widths", n0), ("noise", 3 * self.n_harvey + 1),
+            ("widths", nw), ("noise", 3 * self.n_harvey + 1),
             ("inclination", 1), ("trunc", 1),
         ])
 
@@ -66,6 +69,12 @@ def build_rgb_asympt(spec: RGBAsymptSpec):
     def model_fn(params, nu):
         heights = layout.get(params, "heights")
         widths = layout.get(params, "widths")
+        if spec.width_kind == "app2016":
+            from tamcmc_tpu.ops.widths import appourchaux2016_width
+            f0_w = layout.get(params, "freq_l0")
+            widths = appourchaux2016_width(
+                f0_w, widths[..., 0], widths[..., 1], widths[..., 2],
+                widths[..., 3], widths[..., 4], widths[..., 5])
         vis = layout.get(params, "visibilities")
         f0 = layout.get(params, "freq_l0")
         f2 = layout.get(params, "freq_l2")

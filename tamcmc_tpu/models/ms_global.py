@@ -40,9 +40,12 @@ class MSGlobalSpec:
     """Static structure of an MS-Global problem (fixes all shapes)."""
     n_per_l: tuple          # e.g. (13, 13, 13, 0) — mode counts for l=0..3
     n_harvey: int = 3
-    rotation: str = "a1etaa3"   # a1etaa3 | a1l | a1n | a1nl | aj | ajAlm
+    rotation: str = "a1etaa3"   # a1etaa3 | a1a2a3 | a1l | a1n | a1nl | aj | ajAlm
     alm_filter: str = "gate"    # activity filter for ajAlm ("gate"/"triangle")
     noise_kind: str = "harvey_like"   # or "harvey_1985"
+    width_kind: str = "free"    # "free" (N0 per-mode widths) or "app2016"
+                                # (6-param Appourchaux+2016 relation; see
+                                # ops.widths — AppWidth reference families)
 
     @property
     def lmax(self):
@@ -51,14 +54,20 @@ class MSGlobalSpec:
     def rot_size(self) -> int:
         # rot block ABI per rotation law (reference model families [U]):
         #  a1etaa3 -> [a1, eta_sw, a3, asym]
+        #  a1a2a3  -> [a1, a2, a3, asym]  (a2 fitted directly, no eta term)
         #  a1l     -> [a1_l1, a1_l2, eta_sw, a3, asym]  (l=3 uses the mean)
         #  a1n     -> [a1_0..a1_{N0-1}, eta_sw, a3, asym]
         #  a1nl    -> [a1l1_0.., a1l2_0.., eta_sw, a3, asym]
         #  aj      -> [a1..a6, eta_sw, asym]
         #  ajAlm   -> [a1, a3, a5, eta_sw, eps, theta0, delta, asym]
         n0 = self.n_per_l[0]
-        return {"a1etaa3": 4, "a1l": 5, "a1n": n0 + 3, "a1nl": 2 * n0 + 3,
-                "aj": 8, "ajAlm": 8}[self.rotation]
+        return {"a1etaa3": 4, "a1a2a3": 4, "a1l": 5, "a1n": n0 + 3,
+                "a1nl": 2 * n0 + 3, "aj": 8, "ajAlm": 8}[self.rotation]
+
+    def width_size(self) -> int:
+        # "free": one width per l=0 mode; "app2016": [numax, alpha,
+        # Gamma_alpha, dGamma_dip, nu_dip, W_dip]
+        return self.n_per_l[0] if self.width_kind == "free" else 6
 
     def layout(self) -> BlockLayout:
         rot_size = self.rot_size()
@@ -68,7 +77,7 @@ class MSGlobalSpec:
             spec.append((f"freq_l{l}",
                          self.n_per_l[l] if l < len(self.n_per_l) else 0))
         spec += [("rot", rot_size),
-                 ("widths", self.n_per_l[0]),
+                 ("widths", self.width_size()),
                  ("noise", 3 * self.n_harvey + 1),
                  ("inclination", 1),
                  ("trunc", 1)]
@@ -91,6 +100,15 @@ def build_ms_global(spec: MSGlobalSpec):
     def model_fn(params, nu):
         heights = layout.get(params, "heights")
         widths = layout.get(params, "widths")
+        if spec.width_kind == "app2016":
+            # widths block is the 6-param Appourchaux+2016 relation; expand
+            # to per-mode widths on the l=0 ridge (l>0 widths then come from
+            # the usual interpolation, exact for this smooth relation)
+            from tamcmc_tpu.ops.widths import appourchaux2016_width
+            f0_w = layout.get(params, "freq_l0")
+            widths = appourchaux2016_width(
+                f0_w, widths[..., 0], widths[..., 1], widths[..., 2],
+                widths[..., 3], widths[..., 4], widths[..., 5])
         vis = layout.get(params, "visibilities")
         # always 4 entries (size-0 arrays for absent degrees) so the list
         # index IS the degree — assemblers skip empties
@@ -104,6 +122,15 @@ def build_ms_global(spec: MSGlobalSpec):
             eta0 = _eta0_ingraph(freqs_per_l[0], sw)
             H, C, W, B = assemble_components_a1etaa3(
                 freqs_per_l, heights, widths, vis, inc, a1, eta0, a3, asym)
+        elif spec.rotation == "a1a2a3":
+            # a2 fitted directly (no centrifugal eta term): nu_nlm = nu +
+            # a1 P1(m) + a2 P2(m) + a3 P3(m)  (model_MS_Global_a1a2a3_* [U])
+            a1, a2, a3, asym = (rot[..., i] for i in range(4))
+            zeros = jnp.zeros_like(a1)
+            aj6 = jnp.stack([a1, a2, a3, zeros, zeros, zeros], axis=-1)
+            H, C, W, B = assemble_components_aj(
+                freqs_per_l, heights, widths, vis, inc, aj6,
+                jnp.zeros_like(a1), asym)
         elif spec.rotation in ("a1l", "a1n", "a1nl"):
             n0 = n_per_l[0]
             if spec.rotation == "a1l":

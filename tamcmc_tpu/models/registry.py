@@ -11,13 +11,16 @@ from __future__ import annotations
 import dataclasses
 
 from tamcmc_tpu.models.ms_global import MSGlobalSpec, build_ms_global
-from tamcmc_tpu.models.local import MSLocalSpec, build_ms_local
+from tamcmc_tpu.models.local import (
+    MSLocalSpec, build_ms_local, MSLocalHnlmSpec, build_ms_local_hnlm,
+)
 from tamcmc_tpu.models.asymptotic import RGBAsymptSpec, build_rgb_asympt
 from tamcmc_tpu.models.test_models import (
     TestGaussianSpec, build_test_gaussian,
     HarveyGaussianSpec, build_harvey_gaussian,
     SingleLorentzianSpec, build_single_lorentzian,
     HarveyBackgroundSpec, build_harvey_background,
+    Kallinger2014Spec, build_kallinger2014,
 )
 
 
@@ -56,6 +59,19 @@ _register("model_MS_Global_a1n_etaa3_HarveyLike", MSGlobalSpec,
 _register("model_MS_Global_a1nl_etaa3_HarveyLike", MSGlobalSpec,
           lambda spec: build_ms_global(dataclasses.replace(spec, rotation="a1nl")),
           "per-(order, degree) splittings: a1(n, l=1) and a1(n, l=2) tables")
+_register("model_MS_Global_a1a2a3_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(
+              dataclasses.replace(spec, rotation="a1a2a3")),
+          "a2 asphericity fitted directly instead of the centrifugal eta term")
+_register("model_MS_Global_a1etaa3_AppWidth_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(
+              dataclasses.replace(spec, width_kind="app2016")),
+          "a1etaa3 rotation with the Appourchaux+2016 width relation "
+          "(6 relation params replace the N0 free widths)")
+_register("model_MS_Global_aj_AppWidth_HarveyLike", MSGlobalSpec,
+          lambda spec: build_ms_global(
+              dataclasses.replace(spec, rotation="aj", width_kind="app2016")),
+          "a1..a6 a-coefficients with the Appourchaux+2016 width relation")
 _register("model_MS_Global_aj_HarveyLike", MSGlobalSpec,
           lambda spec: build_ms_global(dataclasses.replace(spec, rotation="aj")),
           "global p-mode fit, a1..a6 a-coefficients, Harvey-like background")
@@ -65,8 +81,18 @@ _register("model_MS_Global_ajAlm_HarveyLike", MSGlobalSpec,
 _register("model_RGB_asympt_a1etaa3_HarveyLike", RGBAsymptSpec,
           build_rgb_asympt,
           "RGB/subgiant fit: individual l=0/2 + ARMM l=1 mixed-mode forest")
+_register("model_RGB_asympt_a1etaa3_freeWidth_HarveyLike", RGBAsymptSpec,
+          build_rgb_asympt,
+          "alias: per-order free widths are this implementation's default")
+_register("model_RGB_asympt_a1etaa3_AppWidth_HarveyLike", RGBAsymptSpec,
+          lambda spec: build_rgb_asympt(
+              dataclasses.replace(spec, width_kind="app2016")),
+          "RGB/subgiant mixed-mode fit with the Appourchaux+2016 width "
+          "relation on the p-mode ridge")
 _register("model_MS_local_basic", MSLocalSpec, build_ms_local,
           "windowed local fit, per-mode free parameters")
+_register("model_MS_local_Hnlm", MSLocalHnlmSpec, build_ms_local_hnlm,
+          "local fit with free azimuthal height ratios (magnetic stars)")
 _register("model_Test_Gaussian", TestGaussianSpec, build_test_gaussian,
           "Gaussian bump + white noise (sampler smoke test)")
 _register("model_Harvey_Gaussian", HarveyGaussianSpec, build_harvey_gaussian,
@@ -75,6 +101,10 @@ _register("model_Single_Lorentzian", SingleLorentzianSpec,
           build_single_lorentzian, "BASELINE config 1")
 _register("model_Harvey_Background", HarveyBackgroundSpec,
           build_harvey_background, "BASELINE config 2 noise-background fit")
+_register("model_Kallinger2014_Gaussian", Kallinger2014Spec,
+          build_kallinger2014,
+          "Kallinger+2014 two-component granulation background + Gaussian "
+          "p-mode envelope, sinc^2-apodised")
 
 
 def list_models():

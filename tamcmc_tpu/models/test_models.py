@@ -97,3 +97,37 @@ def build_harvey_background(spec: HarveyBackgroundSpec):
                                 n_harvey=spec.n_harvey)
 
     return model_fn, layout
+
+
+@dataclasses.dataclass(frozen=True)
+class Kallinger2014Spec:
+    """Kallinger et al. (2014) two-component granulation background plus an
+    optional Gaussian p-mode envelope (reference: Kallinger-style background
+    families in newer TAMCMC versions [U]).
+
+    params: [a1, b1, a2, b2, W] (+ [Agauss, numax, sigma] if with_gaussian).
+    """
+    nu_nyquist: float = 283.2       # Kepler long cadence [uHz]
+    with_gaussian: bool = True
+
+    def layout(self):
+        spec = [("noise", 5)]
+        if self.with_gaussian:
+            spec.append(("gauss", 3))
+        return BlockLayout.make(spec)
+
+
+def build_kallinger2014(spec: Kallinger2014Spec):
+    from tamcmc_tpu.ops.noise import kallinger2014
+    layout = spec.layout()
+
+    def model_fn(params, nu):
+        bg = kallinger2014(nu, layout.get(params, "noise"), spec.nu_nyquist)
+        if spec.with_gaussian:
+            g = layout.get(params, "gauss")
+            A, numax, sig = g[..., 0], g[..., 1], g[..., 2]
+            sig = jnp.maximum(sig, 1e-3)
+            bg = bg + A * jnp.exp(-0.5 * ((nu - numax) / sig) ** 2)
+        return bg
+
+    return model_fn, layout

@@ -31,6 +31,32 @@ def harvey_1985(nu, A, tc, p):
     return jnp.where(active, val, 0.0)
 
 
+def kallinger2014(nu, noise_params, nu_nyquist):
+    """Kallinger et al. (2014, A&A 570, A41) granulation background.
+
+    Two super-Lorentzian components with fixed slope 4, each normalised so
+    its integral equals the component's rms amplitude squared, all apodised
+    by the sinc^2 sampling response, plus white noise:
+
+        N(nu) = eta^2(nu) * sum_i  xi * a_i^2 / b_i / (1 + (nu/b_i)^4) + W
+        eta(nu) = sinc(pi/2 * nu/nu_nyq),   xi = 2*sqrt(2)/pi
+
+    noise_params: (5,) = [a1, b1, a2, b2, W] with a in ppm, b in uHz.
+    Used by the reference's Kallinger-style background families
+    (`noise_models.cpp` [U]; newer TAMCMC versions).
+    """
+    xi = 2.0 * jnp.sqrt(2.0) / jnp.pi
+    eta2 = jnp.sinc(0.5 * nu / nu_nyquist) ** 2   # jnp.sinc(x)=sin(pi x)/(pi x)
+    total = jnp.zeros_like(nu)
+    for k in range(2):
+        a, b = noise_params[2 * k], noise_params[2 * k + 1]
+        active = (a > 0) & (b > 0)
+        safe_b = jnp.where(active, b, 1.0)
+        comp = xi * a ** 2 / safe_b / (1.0 + (nu / safe_b) ** 4)
+        total = total + jnp.where(active, comp, 0.0)
+    return eta2 * total + jnp.maximum(noise_params[4], 0.0)
+
+
 def noise_background(nu, noise_params, n_harvey: int = 3, kind: str = "harvey_like"):
     """Full background: n_harvey components + white noise.
 

@@ -248,3 +248,177 @@ class TestSmokeModels:
     def test_harvey_background(self):
         fn, layout = build_model("model_Harvey_Background")
         assert layout.ndim == 10
+
+
+class TestAppWidthAndA1A2A3:
+    """New-in-round families: Appourchaux+2016 width relation and direct-a2
+    splitting (reference model_MS_Global_*_AppWidth_* / _a1a2a3_* [U])."""
+    spec = MSGlobalSpec(n_per_l=(3, 3, 3, 0))
+    nu = jnp.linspace(1900.0, 2350.0, 2048)
+
+    def test_appwidth_layout_has_6_width_params(self):
+        fn, lay = build_model("model_MS_Global_a1etaa3_AppWidth_HarveyLike",
+                              self.spec)
+        assert lay.size("widths") == 6
+        # free-width layout for the same star has N0 widths
+        _, lay_free = build_model("model_MS_Global_a1etaa3_HarveyLike",
+                                  self.spec)
+        assert lay_free.size("widths") == 3
+
+    def _appwidth_params(self, lay):
+        # start from the free-width template offsets, then fill the 6-wide
+        # relation block: numax, alpha, Gamma_alpha, dGamma_dip, nu_dip, W_dip
+        p = np.zeros(lay.ndim, dtype=np.float32)
+        rng = np.random.default_rng(0)
+        n0 = 3
+        f0 = np.array([2000.0, 2100.0, 2200.0])
+        p[lay.offset("heights"):lay.offset("heights") + n0] = rng.uniform(3, 8, n0)
+        p[lay.offset("visibilities"):lay.offset("visibilities") + 3] = \
+            [1.5, 0.53, 0.07]
+        for l, off in ((0, 0.0), (1, 50.0), (2, -8.0)):
+            p[lay.offset(f"freq_l{l}"):lay.offset(f"freq_l{l}") + n0] = f0 + off
+        p[lay.offset("rot"):lay.offset("rot") + 4] = [1.0, 1.0, 0.01, 0.02]
+        p[lay.offset("widths"):lay.offset("widths") + 6] = \
+            [2100.0, 4.0, 2.0, 3.0, 2100.0, 4000.0]
+        p[lay.offset("noise"):lay.offset("noise") + lay.size("noise")] = \
+            [10.0, 5e-4, 4.0, 3.0, 2e-4, 2.0, -1, -1, 2.0, 0.4]
+        p[lay.offset("inclination")] = np.deg2rad(45.0)
+        p[lay.offset("trunc")] = 40.0
+        return jnp.asarray(p)
+
+    def test_appwidth_spectrum_and_grad(self):
+        fn, lay = build_model("model_MS_Global_a1etaa3_AppWidth_HarveyLike",
+                              self.spec)
+        p = self._appwidth_params(lay)
+        m = np.asarray(jax.jit(fn)(p, self.nu))
+        assert np.all(np.isfinite(m)) and np.all(m > 0)
+        for f in (2000.0, 2100.0, 2200.0):   # peaks survive the width relation
+            i = np.argmin(np.abs(np.asarray(self.nu) - f))
+            assert m[i] > np.median(m) + 3.0   # mode height >> background
+        g = jax.grad(lambda q: jnp.sum(fn(q, self.nu)))(p)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_appwidth_dip_suppresses_width(self):
+        from tamcmc_tpu.ops.widths import appourchaux2016_width
+        nu = jnp.asarray([1500.0, 2100.0, 2800.0])
+        # no dip (dGamma_dip=1): pure power law
+        w0 = np.asarray(appourchaux2016_width(nu, 2100.0, 4.0, 2.0,
+                                              1.0, 2100.0, 4000.0))
+        np.testing.assert_allclose(
+            w0, 2.0 * (np.asarray(nu) / 2100.0) ** 4.0, rtol=1e-5)
+        # dip of depth 3 at nu_dip=2100: width there reduced by exactly 3
+        w1 = np.asarray(appourchaux2016_width(nu, 2100.0, 4.0, 2.0,
+                                              3.0, 2100.0, 4000.0))
+        assert w1[1] == pytest.approx(w0[1] / 3.0, rel=1e-5)
+        assert w1[0] > w1[1] * 0.9 / 3.0    # dip localized: wings less affected
+
+    def test_a1a2a3_matches_aj_with_truncated_coeffs(self):
+        fn_a, lay_a = build_model("model_MS_Global_a1a2a3_HarveyLike", self.spec)
+        fn_j, lay_j = build_model("model_MS_Global_aj_HarveyLike", self.spec)
+        p_a = make_ms_global_params(lay_a, self.spec.n_per_l)
+        ro = lay_a.offset("rot")
+        p_a = p_a.at[ro:ro + 4].set(jnp.asarray([1.0, 0.05, 0.01, 0.02]))
+        # same physics through the aj family: a1..a3 set, a4..a6 = 0, eta off
+        p_j = make_ms_global_params(lay_j, self.spec.n_per_l)
+        rj = lay_j.offset("rot")
+        p_j = p_j.at[rj:rj + 8].set(
+            jnp.asarray([1.0, 0.05, 0.01, 0.0, 0.0, 0.0, 0.0, 0.02]))
+        m_a = np.asarray(fn_a(p_a, self.nu))
+        m_j = np.asarray(fn_j(p_j, self.nu))
+        np.testing.assert_allclose(m_a, m_j, rtol=1e-5)
+
+    def test_a1a2a3_a2_moves_only_aspherical_components(self):
+        fn, lay = build_model("model_MS_Global_a1a2a3_HarveyLike", self.spec)
+        p0 = make_ms_global_params(lay, self.spec.n_per_l)
+        ro = lay.offset("rot")
+        p0 = p0.at[ro:ro + 4].set(jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+        p1 = p0.at[ro + 1].set(0.3)          # turn on a2
+        m0 = np.asarray(fn(p0, self.nu))
+        m1 = np.asarray(fn(p1, self.nu))
+        assert np.max(np.abs(m0 - m1)) > 1e-4
+        # l=0 modes carry no splitting: spectrum near 2000 (pure l=0) moves
+        # much less than near the l=2 ridge (1992)
+        i0 = np.abs(np.asarray(self.nu) - 2000.0) < 1.0
+        i2 = np.abs(np.asarray(self.nu) - 1992.0) < 1.0
+        assert np.max(np.abs(m0[i2] - m1[i2])) > np.max(np.abs(m0[i0] - m1[i0]))
+
+
+class TestLocalHnlm:
+    def test_free_m_heights_break_visibility_law(self):
+        from tamcmc_tpu.models.local import MSLocalHnlmSpec
+        spec = MSLocalHnlmSpec(n_per_l=(1, 1, 0, 0))
+        fn, lay = build_model("model_MS_local_Hnlm", spec)
+        p = np.zeros(lay.ndim, dtype=np.float32)
+        p[lay.offset("height_l0")] = 5.0
+        p[lay.offset("height_l1")] = 4.0
+        p[lay.offset("freq_l0")] = 2000.0
+        p[lay.offset("freq_l1")] = 2050.0
+        p[lay.offset("width_l0")] = 0.5
+        p[lay.offset("width_l1")] = 0.5
+        # m=0 component on, |m|=1 off — impossible under any inclination
+        # with a1 != 0 splitting visible... the point: arbitrary ratios
+        p[lay.offset("hfactor_l1"):lay.offset("hfactor_l1") + 2] = [1.0, 0.0]
+        p[lay.offset("rot")] = 2.0        # a1
+        p[lay.offset("noise")] = 0.1
+        nu = jnp.linspace(1990.0, 2060.0, 4096)
+        m = np.asarray(fn(jnp.asarray(p), nu))
+        i0 = np.argmin(np.abs(np.asarray(nu) - 2050.0))   # m=0 position
+        ip = np.argmin(np.abs(np.asarray(nu) - 2052.0))   # m=+1 position
+        assert m[i0] > 3.0            # m=0 fully visible
+        assert m[ip] < m[i0] / 3.0    # |m|=1 suppressed
+        g = jax.grad(lambda q: jnp.sum(fn(q, nu)))(jnp.asarray(p))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestKallinger2014:
+    def test_background_shape(self):
+        from tamcmc_tpu.ops.noise import kallinger2014
+        nu = jnp.linspace(1.0, 280.0, 1024)
+        params = jnp.asarray([50.0, 20.0, 30.0, 80.0, 0.5])
+        n = np.asarray(kallinger2014(nu, params, 283.2))
+        assert np.all(n > 0) and np.all(np.isfinite(n))
+        # super-Lorentzian: falls off ~nu^-4 well above both knees
+        i1 = np.argmin(np.abs(np.asarray(nu) - 160.0))
+        i2 = np.argmin(np.abs(np.asarray(nu) - 260.0))
+        # white floor is 0.5; subtract before slope check
+        s = np.log((n[i1] - 0.5) / (n[i2] - 0.5)) / np.log(260.0 / 160.0)
+        assert 2.5 < s < 5.5   # ~nu^-4 steepened by sinc^2 apodisation
+        # zero-amplitude component contributes nothing
+        p2 = jnp.asarray([50.0, 20.0, -1.0, 80.0, 0.5])
+        n2 = np.asarray(kallinger2014(nu, p2, 283.2))
+        assert np.all(n2 <= n + 1e-6)
+
+    def test_model_family_with_envelope(self):
+        fn, lay = build_model("model_Kallinger2014_Gaussian")
+        p = jnp.asarray([50.0, 20.0, 30.0, 80.0, 0.5, 5.0, 150.0, 20.0])
+        nu = jnp.linspace(1.0, 280.0, 1024)
+        m = np.asarray(fn(p, nu))
+        i = np.argmin(np.abs(np.asarray(nu) - 150.0))
+        base = np.asarray(fn(p.at[5].set(0.0), nu))
+        assert m[i] == pytest.approx(base[i] + 5.0, rel=1e-3)
+
+
+class TestRGBAppWidth:
+    def test_appwidth_variant_compiles_and_matches_layout(self):
+        from tamcmc_tpu.models.asymptotic import RGBAsymptSpec
+        spec = RGBAsymptSpec(n_orders=4, numin=500.0, numax_win=700.0,
+                             n_p_poles=6, n_g_poles=40, n_harvey=2)
+        fn, lay = build_model("model_RGB_asympt_a1etaa3_AppWidth_HarveyLike",
+                              spec)
+        assert lay.size("widths") == 6
+        p = np.zeros(lay.ndim, dtype=np.float32)
+        f0 = np.linspace(520.0, 680.0, 4)
+        p[lay.offset("heights"):lay.offset("heights") + 4] = 5.0
+        p[lay.offset("visibilities"):lay.offset("visibilities") + 2] = [1.5, 0.5]
+        p[lay.offset("freq_l0"):lay.offset("freq_l0") + 4] = f0
+        p[lay.offset("freq_l2"):lay.offset("freq_l2") + 4] = f0 - 6.0
+        p[lay.offset("mixed"):lay.offset("mixed") + 3] = [80.0, 0.0, 0.15]
+        p[lay.offset("rot"):lay.offset("rot") + 3] = [0.1, 0.4, 0.0]
+        p[lay.offset("widths"):lay.offset("widths") + 6] = \
+            [600.0, 3.0, 0.3, 2.0, 600.0, 1200.0]
+        p[lay.offset("noise"):lay.offset("noise") + 7] = \
+            [100.0, 2e-3, 4.0, 30.0, 1e-3, 2.0, 0.2]
+        p[lay.offset("inclination")] = np.deg2rad(60.0)
+        nu = jnp.linspace(505.0, 695.0, 4096)
+        m = np.asarray(jax.jit(fn)(jnp.asarray(p), nu))
+        assert np.all(np.isfinite(m)) and np.all(m > 0)
