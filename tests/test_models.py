@@ -292,9 +292,13 @@ class TestAppWidthAndA1A2A3:
         p = self._appwidth_params(lay)
         m = np.asarray(jax.jit(fn)(p, self.nu))
         assert np.all(np.isfinite(m)) and np.all(m > 0)
-        for f in (2000.0, 2100.0, 2200.0):   # peaks survive the width relation
-            i = np.argmin(np.abs(np.asarray(self.nu) - f))
-            assert m[i] > np.median(m) + 3.0   # mode height >> background
+        # Peaks survive the width relation.  The dip narrows the modes below
+        # the grid spacing, so probe exact centers vs off-resonance points
+        # instead of nearest grid bins.
+        centers = jnp.asarray([2000.0, 2100.0, 2200.0])
+        m_on = np.asarray(fn(p, centers))
+        m_off = np.asarray(fn(p, centers + 20.0))
+        assert np.all(m_on > m_off + 2.0)   # mode height >> local background
         g = jax.grad(lambda q: jnp.sum(fn(q, self.nu)))(p)
         assert np.all(np.isfinite(np.asarray(g)))
 
