@@ -31,11 +31,44 @@ enable_compile_cache()
 ensure_cpu_fallback()
 
 
+def _make_hyper(overrides: dict):
+    """MALAHyper from a {field: value} dict, rejecting unknown names loudly
+    (a silently-ignored sampler knob changes the posterior — SURVEY.md
+    'hard parts' item 5 applied to the config system)."""
+    import dataclasses
+    from tamcmc_tpu.sampler.state import MALAHyper
+    fields = {f.name for f in dataclasses.fields(MALAHyper)}
+    bad = sorted(set(overrides) - fields)
+    if bad:
+        raise SystemExit(f"[sampler]: unknown MALAHyper field(s) {bad}; "
+                         f"valid: {sorted(fields)}")
+    return MALAHyper(**overrides)
+
+
+def _sampler_cli_overrides(args):
+    """CLI-level sampler knobs (override problem-file [sampler] values)."""
+    out = {}
+    if getattr(args, "lambda_temp", None) is not None:
+        out["lambda_temp"] = args.lambda_temp
+    if getattr(args, "dn_mixing", None) is not None:
+        out["dN_mixing"] = args.dn_mixing
+    if getattr(args, "no_drift", False):
+        out["use_drift"] = False
+    if getattr(args, "target_acc", None) is not None:
+        out["target_acceptance"] = args.target_acc
+    return out
+
+
 def _build_problem(args):
+    import dataclasses
     import jax.numpy as jnp
     from tamcmc_tpu.demos import make_demo
     if args.demo:
-        return make_demo(args.demo, seed=args.seed)
+        problem, hp, plan, meta = make_demo(args.demo, seed=args.seed)
+        cli = _sampler_cli_overrides(args)
+        if cli:
+            hp = dataclasses.replace(hp, **cli)
+        return problem, hp, plan, meta
     if args.problem:
         from tamcmc_tpu.io.problemfile import read_problem_file
         from tamcmc_tpu.io.data import read_spectrum
@@ -62,13 +95,17 @@ def _build_problem(args):
                           params0=jnp.asarray(cfg["params0"], jnp.float32),
                           likelihood=cfg["likelihood"], sigma_spec=sigma,
                           mask=mask)
-        hp = MALAHyper()
-        plan = PhasePlan(burnin=args.burnin or 2000,
-                         learning=args.learning or 10000,
-                         acquire=args.acquire or 20000,
-                         thin=args.thin or 10)
-        return problem, hp, plan, {"n_temps": args.temps or 6,
-                                   "n_chains": args.chains or 4}
+        sampler_cfg = dict(cfg.get("sampler", {}))
+        sampler_cfg.update(_sampler_cli_overrides(args))
+        hp = _make_hyper(sampler_cfg)
+        ph = dict(cfg.get("phases", {}))
+        n_temps = args.temps or ph.pop("temps", None) or 6
+        n_chains = args.chains or ph.pop("chains", None) or 4
+        plan = PhasePlan(burnin=args.burnin or ph.get("burnin", 2000),
+                         learning=args.learning or ph.get("learning", 10000),
+                         acquire=args.acquire or ph.get("acquire", 20000),
+                         thin=args.thin or ph.get("thin", 10))
+        return problem, hp, plan, {"n_temps": n_temps, "n_chains": n_chains}
     raise SystemExit("run: provide --demo NAME or --problem FILE")
 
 
@@ -261,6 +298,15 @@ def main(argv=None):
         p.add_argument("--learning", type=int)
         p.add_argument("--acquire", type=int)
         p.add_argument("--thin", type=int)
+        p.add_argument("--lambda-temp", type=float, dest="lambda_temp",
+                       help="geometric temperature-ladder ratio T_k = λ^k")
+        p.add_argument("--dn-mixing", type=int, dest="dn_mixing",
+                       help="tempering swap cadence (iterations)")
+        p.add_argument("--no-drift", action="store_true",
+                       help="disable the MALA drift (adaptive RW-Metropolis, "
+                            "the reference's default operating mode)")
+        p.add_argument("--target-acc", type=float, dest="target_acc",
+                       help="adaptation target acceptance rate")
 
     pr = sub.add_parser("run", help="execute a fit (B/L/A phases)")
     add_problem_args(pr)

@@ -20,6 +20,20 @@ Native format (TOML):
     [spec]                            # kwargs of the model family's Spec
     n_per_l = [13, 13, 13, 0]
 
+    [sampler]                         # optional: MALAHyper overrides — the
+    lambda_temp = 1.4                 #   reference config_default.cfg MALA
+    dN_mixing = 10                    #   section [U] (SURVEY.md section 2)
+    use_drift = true
+    target_acceptance = 0.574         # omit -> optimal-scaling default
+
+    [phases]                          # optional: B/L/A iteration plan — the
+    burnin = 2000                     #   reference config_presets.cfg phase
+    learning = 10000                  #   rows [U]
+    acquire = 20000
+    thin = 10
+    temps = 6
+    chains = 8
+
     [[param]]                         # one block per parameter, in ABI order
     name = "heights_0"                # informational; order is authoritative
     value = 5.0
@@ -49,6 +63,8 @@ def read_problem_file(path: str):
         "freq_range": prob.get("freq_range"),
         "spec_kwargs": {k: (tuple(v) if isinstance(v, list) else v)
                         for k, v in doc.get("spec", {}).items()},
+        "sampler": dict(doc.get("sampler", {})),
+        "phases": dict(doc.get("phases", {})),
     }
     rows, values = [], []
     for p in doc.get("param", []):

@@ -78,6 +78,72 @@ class TestBatch:
         assert "star 2/2" in out
 
 
+class TestSamplerConfigPlumbing:
+    """[sampler]/[phases] problem-file sections and CLI sampler flags reach
+    MALAHyper/PhasePlan (reference config_default.cfg MALA section +
+    config_presets.cfg phase rows; SURVEY.md section 2 'Config system')."""
+
+    def _write_problem(self, tmp_path, sampler="", phases=""):
+        import numpy as np
+        from tamcmc_tpu.io.data import write_spectrum
+        write_spectrum(str(tmp_path / "s.data"),
+                       np.linspace(10, 90, 64), np.ones(64))
+        f = tmp_path / "p.toml"
+        f.write_text(
+            '[problem]\nmodel = "model_Single_Lorentzian"\ndata = "s.data"\n'
+            + sampler + phases +
+            '[[param]]\nname = "H"\nvalue = 8.0\nprior = "jeffreys"\n'
+            'hyper = [0.5, 100.0]\n'
+            '[[param]]\nname = "nu0"\nvalue = 48.0\nprior = "uniform"\n'
+            'hyper = [30.0, 70.0]\n'
+            '[[param]]\nname = "W"\nvalue = 3.0\nprior = "jeffreys"\n'
+            'hyper = [0.2, 20.0]\n'
+            '[[param]]\nname = "N0"\nvalue = 1.5\nprior = "jeffreys"\n'
+            'hyper = [0.05, 10.0]\n')
+        return f
+
+    def _args(self, problem, **kw):
+        import argparse
+        base = dict(demo=None, problem=str(problem), seed=0, temps=None,
+                    chains=None, burnin=None, learning=None, acquire=None,
+                    thin=None)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    def test_problem_file_sections(self, tmp_path):
+        from tamcmc_tpu.cli import _build_problem
+        f = self._write_problem(
+            tmp_path,
+            sampler='[sampler]\nlambda_temp = 1.7\ndN_mixing = 5\n'
+                    'use_drift = false\ntarget_acceptance = 0.3\n',
+            phases='[phases]\nburnin = 11\nlearning = 22\nacquire = 33\n'
+                   'thin = 2\ntemps = 3\nchains = 5\n')
+        problem, hp, plan, meta = _build_problem(self._args(f))
+        assert hp.lambda_temp == 1.7 and hp.dN_mixing == 5
+        assert hp.use_drift is False and hp.target_acceptance == 0.3
+        assert (plan.burnin, plan.learning, plan.acquire, plan.thin) == \
+            (11, 22, 33, 2)
+        assert meta == {"n_temps": 3, "n_chains": 5}
+
+    def test_cli_flags_override_file(self, tmp_path):
+        from tamcmc_tpu.cli import _build_problem
+        f = self._write_problem(tmp_path,
+                                sampler='[sampler]\nlambda_temp = 1.7\n')
+        args = self._args(f, lambda_temp=2.0, dn_mixing=3, no_drift=True,
+                          target_acc=None, temps=2, burnin=7)
+        problem, hp, plan, meta = _build_problem(args)
+        assert hp.lambda_temp == 2.0 and hp.dN_mixing == 3
+        assert hp.use_drift is False
+        assert plan.burnin == 7 and meta["n_temps"] == 2
+
+    def test_unknown_sampler_field_rejected(self, tmp_path):
+        from tamcmc_tpu.cli import _build_problem
+        f = self._write_problem(tmp_path,
+                                sampler='[sampler]\nlambda_tmep = 1.7\n')
+        with pytest.raises(SystemExit, match="lambda_tmep"):
+            _build_problem(self._args(f))
+
+
 class TestModelEval:
     def test_writes_table(self, tmp_path):
         out = tmp_path / "m.txt"
