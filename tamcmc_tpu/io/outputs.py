@@ -10,7 +10,9 @@ Format here:
                          (emit, walker): Df values.  `.hdr` sidecar is ASCII:
                          Nvars, Nsamples, column names — enough for the
                          `tamcmc export` tool (reference bin2txt parity).
-  {phase}_chains.npz   — logL (emit, T, C), logP0, log_sigma, acc_rate, mu0
+  {phase}_chains.npz   — logL (emit, T, C), logP0, log_sigma, acc_rate, mu0,
+                         cov_diag0 (emit, Df), swap_att/swap_acc (emit, T;
+                         cumulative counters — rates are diffs over emits)
 A C++ implementation of the record writer lives in native/ (used when built;
 this module transparently falls back to numpy).
 """

@@ -57,6 +57,10 @@ def make_sharded_phase_runner(problem, hp, betas, mesh, adapt: bool,
             "log_sigma": jnp.mean(state.log_sigma, 1),
             "acc_rate": jnp.mean(state.acc_rate, 1),
             "mu0": jnp.mean(state.mu[0], 0),
+            "cov_diag0": jnp.mean(jnp.diagonal(
+                state.cov[0], axis1=-2, axis2=-1), 0),
+            "swap_att": state.nswap_att,
+            "swap_acc": state.nswap_acc,
         }
         return state, record
 
@@ -67,6 +71,7 @@ def make_sharded_phase_runner(problem, hp, betas, mesh, adapt: bool,
     out_record_sh = {
         "theta0": rep, "logL": NamedSharding(mesh, P(None, "temp", "chain")),
         "logP0": rep, "log_sigma": rep, "acc_rate": rep, "mu0": rep,
+        "cov_diag0": rep, "swap_att": rep, "swap_acc": rep,
     }
     return jax.jit(run,
                    in_shardings=(sh, rep),

@@ -71,6 +71,13 @@ def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
             "log_sigma": jnp.mean(state.log_sigma, 1),   # (T,) walker mean
             "acc_rate": jnp.mean(state.acc_rate, 1),     # (T,)
             "mu0": jnp.mean(state.mu[0], 0),             # (Df,) cold-rung mean
+            # Sigma trajectory (reference outputs.cpp writes the full
+            # adaptation history [U]); the diagonal captures the per-param
+            # proposal scales, full Sigma lives in every checkpoint.
+            "cov_diag0": jnp.mean(jnp.diagonal(
+                state.cov[0], axis1=-2, axis2=-1), 0),   # (Df,)
+            "swap_att": state.nswap_att,                 # (T,) cumulative
+            "swap_acc": state.nswap_acc,                 # (T,)
         }
         return state, record
 

@@ -27,6 +27,16 @@ class TestRun:
                   "restore.npz", "summary.json", "metrics.jsonl"):
             assert (fit_dir / f).exists(), f
 
+    def test_chains_trajectories(self, fit_dir):
+        z = np.load(fit_dir / "A_chains.npz")
+        assert {"logL", "logP0", "log_sigma", "acc_rate", "mu0",
+                "cov_diag0", "swap_att", "swap_acc"} <= set(z.files)
+        assert np.all(z["cov_diag0"] > 0)          # proposal variances
+        att = z["swap_att"]                        # cumulative, (E, T)
+        assert np.all(np.diff(att, axis=0) >= 0)
+        assert att[-1, :-1].min() > 0              # every pair attempted
+        assert np.all(z["swap_acc"] <= z["swap_att"])
+
     def test_summary_recovers_scale(self, fit_dir):
         rows = json.load(open(fit_dir / "summary.json"))
         by = {r["name"]: r for r in rows}
