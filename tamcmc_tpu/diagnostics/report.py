@@ -87,6 +87,23 @@ def plot_likelihood_trace(outpath, logL):
     fig.tight_layout(); fig.savefig(outpath, dpi=110); plt.close(fig)
 
 
+def plot_swap_rates(outpath, swap_att, swap_acc):
+    """swap_att/swap_acc: (E, T) cumulative adjacent-pair counters; the last
+    rung has no upper partner.  Plots the running acceptance rate per pair
+    (the reference's swap table, as an evolution plot)."""
+    plt = _mpl()
+    att = np.asarray(swap_att, dtype=np.float64)[:, :-1]
+    acc = np.asarray(swap_acc, dtype=np.float64)[:, :-1]
+    rate = acc / np.maximum(att, 1.0)
+    fig, ax = plt.subplots(figsize=(9, 3.5))
+    for p in range(rate.shape[1]):
+        ax.plot(rate[:, p], lw=0.9, label=f"pair {p}-{p + 1}")
+    ax.set_ylim(0, 1); ax.set_xlabel("thinned iteration")
+    ax.set_ylabel("tempering swap acceptance")
+    ax.legend(fontsize=7, ncol=4)
+    fig.tight_layout(); fig.savefig(outpath, dpi=110); plt.close(fig)
+
+
 def write_report(outdir, results: dict, problem=None, names=None,
                  model_at_median=None):
     """Emit the full artifact set from run_phases results."""
@@ -102,6 +119,9 @@ def write_report(outdir, results: dict, problem=None, names=None,
     plot_acceptance(outdir / "acceptance.png", outs["acc_rate"],
                     outs["log_sigma"]); made.append("acceptance.png")
     plot_likelihood_trace(outdir / "logL_trace.png", outs["logL"]); made.append("logL_trace.png")
+    if "swap_att" in outs and outs["swap_att"].shape[1] > 1:
+        plot_swap_rates(outdir / "swap_rates.png", outs["swap_att"],
+                        outs["swap_acc"]); made.append("swap_rates.png")
     if problem is not None and model_at_median is not None:
         plot_spectrum_fit(outdir / "spectrum_fit.png",
                           np.asarray(problem.nu), np.asarray(problem.spec),
