@@ -277,6 +277,49 @@ def cmd_stats(args):
             json.dump(rows, f, indent=1)
 
 
+def cmd_make_example(args):
+    """Export a built-in demo to the file-based workflow: spectrum data +
+    problem.toml (+ injected truth) — the reference ships example setups
+    the same way (test .model/.data files; SURVEY.md section 4)."""
+    import dataclasses
+    import numpy as np
+    from tamcmc_tpu.demos import make_demo
+    from tamcmc_tpu.io.data import write_spectrum
+    from tamcmc_tpu.io.problemfile import write_problem_file
+    from tamcmc_tpu.sampler.state import MALAHyper
+
+    problem, hp, plan, meta = make_demo(args.demo, seed=args.seed,
+                                        ngrid=args.ngrid)
+    if "model" not in meta:
+        raise SystemExit(f"demo '{args.demo}' does not support export")
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    data_name = "spectrum.npz" if args.npz else "spectrum.data"
+    sigma = getattr(problem, "sigma_spec", None)
+    write_spectrum(str(outdir / data_name), np.asarray(problem.nu),
+                   np.asarray(problem.spec),
+                   sigma=None if sigma is None else np.asarray(sigma))
+
+    defaults = MALAHyper()
+    sampler = {f.name: getattr(hp, f.name) for f in dataclasses.fields(hp)
+               if getattr(hp, f.name) != getattr(defaults, f.name)}
+    phases = {"burnin": plan.burnin, "learning": plan.learning,
+              "acquire": plan.acquire, "thin": plan.thin,
+              "temps": meta["n_temps"], "chains": meta["n_chains"]}
+    write_problem_file(str(outdir / "problem.toml"), meta["model"],
+                       np.asarray(problem.params0), problem.priors,
+                       likelihood=problem.likelihood, data=data_name,
+                       spec_kwargs=meta.get("spec_kwargs"),
+                       sampler=sampler, phases=phases)
+    if "truth" in meta:
+        np.savetxt(outdir / "truth.txt", np.asarray(meta["truth"]),
+                   header="injected parameter values (full ABI vector)")
+    print(f"example '{args.demo}' written to {outdir}/ "
+          f"(run: tamcmc run --problem {outdir / 'problem.toml'} "
+          f"--outdir {outdir / 'fit'})")
+
+
 def cmd_list_models(args):
     from tamcmc_tpu.models import list_models
     for m in list_models():
@@ -346,6 +389,18 @@ def main(argv=None):
     ps.add_argument("--max-rows", type=int, default=60)
     ps.add_argument("--json")
     ps.set_defaults(fn=cmd_stats)
+
+    px = sub.add_parser("make-example",
+                        help="export a built-in demo as problem.toml + "
+                             "spectrum data (reference-style example setup)")
+    px.add_argument("--demo", required=True)
+    px.add_argument("--outdir", required=True)
+    px.add_argument("--seed", type=int, default=0)
+    px.add_argument("--ngrid", type=int,
+                    help="override the demo's frequency-grid size")
+    px.add_argument("--npz", action="store_true",
+                    help="write spectrum.npz instead of ASCII .data")
+    px.set_defaults(fn=cmd_make_example)
 
     pl = sub.add_parser("list-models", help="print model registry")
     pl.set_defaults(fn=cmd_list_models)

@@ -73,7 +73,9 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
         hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
         plan = PhasePlan(burnin=1000, learning=4000, acquire=8000, thin=4)
         return problem, hp, plan, {"truth": np.asarray(truth),
-                                   "n_temps": 4, "n_chains": 8}
+                                   "n_temps": 4, "n_chains": 8,
+                                   "model": "model_Single_Lorentzian",
+                                   "spec_kwargs": {}}
 
     if name == "harvey_background":
         fn, layout = build_model("model_Harvey_Background")
@@ -104,7 +106,9 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
         hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
         plan = PhasePlan(burnin=2000, learning=6000, acquire=8000, thin=4)
         return problem, hp, plan, {"truth": np.asarray(truth),
-                                   "n_temps": 4, "n_chains": 8}
+                                   "n_temps": 4, "n_chains": 8,
+                                   "model": "model_Harvey_Background",
+                                   "spec_kwargs": {}}
 
     if name in ("ms_global", "kepler_full"):
         if name == "ms_global":
@@ -192,7 +196,9 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
         hp = MALAHyper(use_drift=True, dN_mixing=10,
                        lambda_temp=1.35 if name == "kepler_full" else 1.5)
         return problem, hp, plan, {"truth": truth, "n_temps": n_temps,
-                                   "n_chains": n_chains}
+                                   "n_chains": n_chains,
+                                   "model": "model_MS_Global_a1etaa3_HarveyLike",
+                                   "spec_kwargs": {"n_per_l": n_per_l}}
 
     if name == "subgiant_mixed":
         # BASELINE config 5: dense l=1 mixed modes from the ARMM solver
@@ -254,7 +260,12 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
                           nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32))
         hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.3)
         plan = PhasePlan(burnin=4000, learning=15000, acquire=20000, thin=5)
-        return problem, hp, plan, {"truth": truth, "n_temps": 8, "n_chains": 6}
+        return problem, hp, plan, {"truth": truth, "n_temps": 8, "n_chains": 6,
+                                   "model": "model_RGB_asympt_a1etaa3_HarveyLike",
+                                   "spec_kwargs": {
+                                       "n_orders": n_orders, "numin": numin,
+                                       "numax_win": numax_w, "n_p_poles": n_p,
+                                       "n_g_poles": n_g}}
 
     raise KeyError(f"unknown demo '{name}'; have single_lorentzian, "
                    "harvey_background, ms_global, kepler_full, subgiant_mixed")

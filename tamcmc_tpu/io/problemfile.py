@@ -77,25 +77,30 @@ def read_problem_file(path: str):
     return out
 
 
+def _toml_value(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (tuple, list)):
+        return f"[{', '.join(_toml_value(x) for x in v)}]"
+    if isinstance(v, str):
+        return f'"{v}"'
+    return str(v)
+
+
 def write_problem_file(path: str, model: str, params0, priors: PriorTable,
                        likelihood="chi22p", data=None, freq_range=None,
-                       spec_kwargs=None):
+                       spec_kwargs=None, sampler=None, phases=None):
     """Emit the native TOML problem file (inverse of read_problem_file)."""
     lines = ["[problem]", f'model = "{model}"', f'likelihood = "{likelihood}"']
     if data:
         lines.append(f'data = "{data}"')
     if freq_range is not None:
         lines.append(f"freq_range = [{freq_range[0]}, {freq_range[1]}]")
-    if spec_kwargs:
-        lines.append("")
-        lines.append("[spec]")
-        for k, v in spec_kwargs.items():
-            if isinstance(v, (tuple, list)):
-                lines.append(f"{k} = [{', '.join(str(x) for x in v)}]")
-            elif isinstance(v, str):
-                lines.append(f'{k} = "{v}"')
-            else:
-                lines.append(f"{k} = {v}")
+    for section, kv in (("spec", spec_kwargs), ("sampler", sampler),
+                        ("phases", phases)):
+        if kv:
+            lines += ["", f"[{section}]"]
+            lines += [f"{k} = {_toml_value(v)}" for k, v in kv.items()]
     names = priors.names if priors.names else [f"p{i}" for i in range(priors.ndim)]
     for i in range(priors.ndim):
         lines += ["", "[[param]]",

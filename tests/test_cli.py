@@ -154,6 +154,24 @@ class TestSamplerConfigPlumbing:
             _build_problem(self._args(f))
 
 
+class TestMakeExample:
+    def test_export_and_refit_roundtrip(self, tmp_path, capsys):
+        run_cli(["make-example", "--demo", "single_lorentzian",
+                 "--outdir", str(tmp_path / "ex"), "--ngrid", "1024"])
+        assert (tmp_path / "ex" / "spectrum.data").exists()
+        assert (tmp_path / "ex" / "truth.txt").exists()
+        toml = (tmp_path / "ex" / "problem.toml").read_text()
+        assert "[sampler]" in toml and "[phases]" in toml
+        run_cli(["run", "--problem", str(tmp_path / "ex" / "problem.toml"),
+                 "--outdir", str(tmp_path / "fit"), "--burnin", "50",
+                 "--learning", "200", "--acquire", "200", "--temps", "2",
+                 "--chains", "4", "--no-report"])
+        rows = json.load(open(tmp_path / "fit" / "summary.json"))
+        by = {r["name"]: r for r in rows}
+        truth = np.loadtxt(tmp_path / "ex" / "truth.txt")
+        assert abs(by["nu0"]["median"] - truth[1]) < 2.0
+
+
 class TestModelEval:
     def test_writes_table(self, tmp_path):
         out = tmp_path / "m.txt"
