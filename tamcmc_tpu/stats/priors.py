@@ -123,7 +123,10 @@ class PriorTable:
     def log_prior(self, params):
         """Total log-prior of a full parameter vector (jit/vmap/grad-safe)."""
         codes = jnp.asarray(np.asarray(self.kinds, dtype=np.int32))
-        hyp = jnp.asarray(np.asarray(self.hypers, dtype=np.float32))
+        # kinds are always static (they gate the free mask / lax.switch), but
+        # hypers may be a TRACED per-star batch in the aligned-grid ensemble
+        # path (sampler/ensemble.py) — never force them through numpy.
+        hyp = jnp.asarray(self.hypers, dtype=jnp.float32)
         per = jax.vmap(_logp_one)(codes, hyp, params)
         # clamp so several out-of-support params don't overflow to -inf*k
         return jnp.maximum(jnp.sum(per), NEG_BIG)
