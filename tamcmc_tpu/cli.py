@@ -90,11 +90,15 @@ def _build_problem(args):
             mask = jnp.asarray((d["nu"] >= lo) & (d["nu"] <= hi), jnp.float32)
         sigma = (jnp.asarray(d["sigma"], jnp.float32)
                  if "sigma" in d and cfg["likelihood"] == "chi_square" else None)
+        extra = None
+        if cfg.get("family_constraints", True):
+            from tamcmc_tpu.stats.assemblers import build_family_constraints
+            extra = build_family_constraints(cfg["model"], layout)
         problem = Problem(model_fn=fn, layout=layout, priors=cfg["priors"],
                           nu=nu, spec=spec,
                           params0=jnp.asarray(cfg["params0"], jnp.float32),
                           likelihood=cfg["likelihood"], sigma_spec=sigma,
-                          mask=mask)
+                          mask=mask, extra_logp=extra)
         sampler_cfg = dict(cfg.get("sampler", {}))
         sampler_cfg.update(_sampler_cli_overrides(args))
         hp = _make_hyper(sampler_cfg)
@@ -116,6 +120,11 @@ def cmd_run(args):
     from tamcmc_tpu.io.outputs import OutputWriter
     from tamcmc_tpu.io.checkpoint import save_checkpoint, load_checkpoint
     from tamcmc_tpu.diagnostics.summary import posterior_summary, format_summary
+
+    debug = getattr(args, "debug", False)
+    if debug:
+        from tamcmc_tpu.utils.debug import enable_debug_mode
+        enable_debug_mode()
 
     problem, hp, plan, meta = _build_problem(args)
     n_temps = args.temps or meta.get("n_temps", 6)
@@ -161,11 +170,20 @@ def cmd_run(args):
         import contextlib
         prof_ctx = (jax.profiler.trace(str(outdir / "jax_trace"))
                     if profiling and name == "A" else contextlib.nullcontext())
+        def _on_chunk(o, _n=name):
+            writer.append_chunk(_n, o)
+            if debug:
+                from tamcmc_tpu.utils.debug import chunk_finite_report
+                bad = chunk_finite_report(o)
+                if bad:
+                    metrics.log("debug_nonfinite", phase=_n, **bad)
+                    print(f"[debug] non-finite values in chunk: {bad}")
+
         with prof_ctx:
             state, outs = run_phase(
                 problem, hp, betas, state, sub, n_steps, adapt=adapt,
                 thin=plan.thin, chunk=plan.chunk,
-                on_chunk=lambda o, _n=name: writer.append_chunk(_n, o))
+                on_chunk=_on_chunk)
         writer.finalize_phase(name)
         results[name] = outs
         save_checkpoint(str(ckpt), state, key, phase=name)
@@ -358,6 +376,9 @@ def main(argv=None):
     pr.add_argument("--no-report", action="store_true")
     pr.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of the Acquire phase")
+    pr.add_argument("--debug", action="store_true",
+                    help="debug mode: jax_debug_nans + per-chunk finite "
+                         "checks surfaced in metrics.jsonl (SURVEY 5.2)")
     pr.add_argument("--max-rows", type=int, default=40)
     pr.set_defaults(fn=cmd_run)
 

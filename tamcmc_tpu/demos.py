@@ -191,8 +191,12 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
                          spec=spec, params0=jnp.asarray(p0, jnp.float32))
         scales = np.asarray(default_init_scales(_prob0))   # (Df,) prior-based
         p0[free] = p0[free] + 3.0 * scales * rng.standard_normal(free.sum())
+        from tamcmc_tpu.stats.assemblers import build_family_constraints
+        extra = build_family_constraints("model_MS_Global_a1etaa3_HarveyLike",
+                                         layout)
         problem = Problem(model_fn=fn, layout=layout, priors=priors,
-                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32))
+                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32),
+                          extra_logp=extra)
         hp = MALAHyper(use_drift=True, dN_mixing=10,
                        lambda_temp=1.35 if name == "kepler_full" else 1.5)
         return problem, hp, plan, {"truth": truth, "n_temps": n_temps,
@@ -256,8 +260,12 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
         p0 = truth.copy()
         free = priors.free_mask
         p0[free] *= (1 + 0.01 * rng.standard_normal(free.sum()))
+        from tamcmc_tpu.stats.assemblers import build_family_constraints
+        extra = build_family_constraints(
+            "model_RGB_asympt_a1etaa3_HarveyLike", layout)
         problem = Problem(model_fn=fn, layout=layout, priors=priors,
-                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32))
+                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32),
+                          extra_logp=extra)
         hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.3)
         plan = PhasePlan(burnin=4000, learning=15000, acquire=20000, thin=5)
         return problem, hp, plan, {"truth": truth, "n_temps": 8, "n_chains": 6,

@@ -61,6 +61,10 @@ def read_problem_file(path: str):
         "likelihood": prob.get("likelihood", "chi22p"),
         "data": prob.get("data"),
         "freq_range": prob.get("freq_range"),
+        # family cross-parameter constraints (stats/assemblers.py) are ON by
+        # default — the reference's priors_MS_Global behaviour [U]; set
+        # `family_constraints = false` under [problem] to opt out.
+        "family_constraints": bool(prob.get("family_constraints", True)),
         "spec_kwargs": {k: (tuple(v) if isinstance(v, list) else v)
                         for k, v in doc.get("spec", {}).items()},
         "sampler": dict(doc.get("sampler", {})),

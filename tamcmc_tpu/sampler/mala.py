@@ -201,8 +201,12 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
         # under Robbins-Monro gains).
         chol = jax.lax.cond((step % hp.dN_chol) == 0, refresh,
                             lambda cv: state.chol, cov)
+        # sigma update: expected acceptance (Rao-Blackwellised) or realized
+        # 0/1 indicator (Atchade as written) — a documented parity switch,
+        # see MALAHyper.sigma_acc_estimator / docs/PARITY.md.
+        acc_est = inst_acc if hp.sigma_acc_estimator == "expected" else accf
         log_sigma = jnp.clip(
-            state.log_sigma + gamma * (inst_acc - hp.resolved_target()),
+            state.log_sigma + gamma * (acc_est - hp.resolved_target()),
             hp.log_sigma_min, hp.log_sigma_max)
     else:
         mu, cov, chol, log_sigma = state.mu, state.cov, state.chol, state.log_sigma

@@ -88,6 +88,16 @@ class MALAHyper:
     dN_mixing: int = 10             # tempering swap cadence (reference name)
     lambda_temp: float = 1.4        # geometric ladder T_k = lambda^k
     acc_smooth: float = 0.02        # EMA factor for reported acceptance
+    sigma_acc_estimator: str = "expected"
+                                    # which acceptance estimate drives the
+                                    # Robbins-Monro log-sigma update:
+                                    #  "expected" — E[accept] = min(1,exp(dlog))
+                                    #    (Rao-Blackwellised, lower-variance;
+                                    #    this repo's round-1 behaviour)
+                                    #  "realized" — the 0/1 accept indicator
+                                    #    (Atchade 2006 as written; presumed
+                                    #    reference scheme [U] — see
+                                    #    docs/PARITY.md "sigma adaptation")
 
     def resolved_target(self) -> float:
         if self.target_acceptance is not None:

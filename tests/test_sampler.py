@@ -177,3 +177,37 @@ class TestPhases:
         assert set(results) == {"B", "L", "A"}
         assert results["A"]["theta0"].shape[0] == 40
         assert int(s.step) == 500
+
+
+class TestSigmaEstimatorSwitch:
+    """The sigma-adaptation drive is a documented parity switch
+    (MALAHyper.sigma_acc_estimator, docs/PARITY.md): 'expected' uses the
+    Rao-Blackwellised min(1, exp(dlog)), 'realized' the 0/1 accept indicator
+    (Atchade 2006 as written — presumed reference scheme [U])."""
+
+    def test_estimators_differ_but_both_adapt(self):
+        p = std_gaussian(3)
+        hp_e = MALAHyper(use_drift=False, sigma_acc_estimator="expected")
+        hp_r = MALAHyper(use_drift=False, sigma_acc_estimator="realized")
+        betas, s0 = make(p, hp_e, T=2, C=4)
+        se, sr = s0, s0
+        for i in range(20):
+            k = jax.random.PRNGKey(i)
+            se = mala_step(p, hp_e, betas, se, k, adapt=True)
+            sr = mala_step(p, hp_r, betas, sr, k, adapt=True)
+        assert np.all(np.isfinite(np.asarray(se.log_sigma)))
+        assert np.all(np.isfinite(np.asarray(sr.log_sigma)))
+        # different sigma trajectories (the estimators differ; sigma feeds
+        # back into proposals so theta also diverges — by design)
+        assert not np.allclose(np.asarray(se.log_sigma),
+                               np.asarray(sr.log_sigma))
+
+    def test_realized_converges_to_target(self):
+        p = std_gaussian(2)
+        hp = MALAHyper(use_drift=False, sigma_acc_estimator="realized",
+                       gain_c0=2.0)
+        betas, s = make(p, hp, T=1, C=16, seed=3)
+        s, _ = run_phase(p, hp, betas, s, jax.random.PRNGKey(5),
+                         n_steps=3000, adapt=True, thin=10, chunk=100)
+        acc = float(np.asarray(s.acc_rate).mean())
+        assert abs(acc - hp.resolved_target()) < 0.12, acc
