@@ -97,6 +97,24 @@ long rw_count(void* h) {
     return w ? w->nrecords.load() : -1;
 }
 
+// Synchronous barrier: returns only when every appended record is in the
+// file (kernel page cache).  Needed at intra-phase checkpoints — the .bin
+// must cover at least as many records as the restore file claims, or a
+// crash-resume would truncate into data the checkpoint depends on.
+int rw_flush(void* h) {
+    Writer* w = static_cast<Writer*>(h);
+    if (!w) return 1;
+    std::unique_lock<std::mutex> lk(w->m);
+    w->cv_done.wait(lk, [&] { return !w->pending; });   // drain async buffer
+    std::vector<double>& b = w->buf[w->active];          // drain active buffer
+    if (!b.empty() &&
+        fwrite(b.data(), sizeof(double), b.size(), w->f) != b.size())
+        w->err = 1;
+    b.clear();
+    if (fflush(w->f) != 0) w->err = 1;
+    return w->err;
+}
+
 int rw_close(void* h) {
     Writer* w = static_cast<Writer*>(h);
     if (!w) return 1;

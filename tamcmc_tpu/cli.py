@@ -30,6 +30,13 @@ from tamcmc_tpu.utils.cache import enable_compile_cache, ensure_cpu_fallback
 enable_compile_cache()
 ensure_cpu_fallback()
 
+# Honour an EXPLICIT user platform request: some sandboxes prepend an
+# experimental TPU platform via a site hook, silently overriding
+# JAX_PLATFORMS=cpu — config.update after import wins over the hook.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 
 def _make_hyper(overrides: dict):
     """MALAHyper from a {field: value} dict, rejecting unknown names loudly
@@ -76,7 +83,14 @@ def _build_problem(args):
         from tamcmc_tpu.sampler.problem import Problem
         from tamcmc_tpu.sampler.state import MALAHyper
         from tamcmc_tpu.sampler.driver import PhasePlan
-        cfg = read_problem_file(args.problem)
+        if args.problem.endswith(".model"):
+            # reference-style setup file: provisional semantic reader with a
+            # loud banner (io/reference.py; byte-compat blocked on the
+            # empty reference mount — SURVEY 5.6)
+            from tamcmc_tpu.io.reference import read_model_provisional
+            cfg = read_model_provisional(args.problem)
+        else:
+            cfg = read_problem_file(args.problem)
         fn, layout = build_model(cfg["model"], **cfg["spec_kwargs"])
         data_path = cfg["data"]
         if not pathlib.Path(data_path).is_absolute():
@@ -113,6 +127,15 @@ def _build_problem(args):
     raise SystemExit("run: provide --demo NAME or --problem FILE")
 
 
+def _parse_mesh(spec: str):
+    """'TxC' -> (n_temp_shards, n_chain_shards), e.g. '4x2'."""
+    try:
+        t, c = spec.lower().split("x")
+        return int(t), int(c)
+    except Exception:
+        raise SystemExit(f"--mesh expects TEMPSxCHAINS (e.g. 4x2), got {spec!r}")
+
+
 def cmd_run(args):
     import jax
     import jax.numpy as jnp
@@ -126,9 +149,28 @@ def cmd_run(args):
         from tamcmc_tpu.utils.debug import enable_debug_mode
         enable_debug_mode()
 
+    # --- multi-process / multi-chip bring-up (SURVEY 5.8; must precede any
+    # backend-touching call so jax.distributed can claim its devices) ---
+    multiproc = False
+    if getattr(args, "distributed", False):
+        from tamcmc_tpu.parallel.distributed import init_distributed
+        multiproc = init_distributed()
+    mesh = None
+    if getattr(args, "mesh", None):
+        from tamcmc_tpu.parallel.distributed import make_global_sampler_mesh
+        nt, nc = _parse_mesh(args.mesh)
+        mesh = make_global_sampler_mesh(nt, nc)
+    pid = jax.process_index() if multiproc else 0
+    is_writer_proc = pid == 0
+
     problem, hp, plan, meta = _build_problem(args)
     n_temps = args.temps or meta.get("n_temps", 6)
     n_chains = args.chains or meta.get("n_chains", 4)
+    if mesh is not None:
+        nt, nc = mesh.shape["temp"], mesh.shape["chain"]
+        if n_temps % nt or n_chains % nc:
+            raise SystemExit(f"mesh {nt}x{nc} must divide temps x chains "
+                             f"= {n_temps}x{n_chains}")
     if args.burnin is not None:
         plan = __import__("dataclasses").replace(plan, burnin=args.burnin)
     if args.learning is not None:
@@ -143,33 +185,83 @@ def cmd_run(args):
     betas = make_beta_ladder(n_temps, hp.lambda_temp)
     key = jax.random.PRNGKey(args.seed)
 
+    def _place(s):
+        if mesh is None:
+            return s
+        from tamcmc_tpu.parallel.sharded import shard_state
+        return shard_state(s, mesh)
+
     ckpt = outdir / "restore.npz"
-    done_phases = []
+    done_phases, mid_phase, mid_emitted, mid_key = [], None, 0, None
     if args.resume and ckpt.exists():
-        state, key, last_phase, _ = load_checkpoint(str(ckpt))
+        state, key, last_phase, cmeta = load_checkpoint(str(ckpt))
+        state = _place(state)
         order = ["B", "L", "A"]
-        done_phases = order[:order.index(last_phase) + 1] if last_phase in order else []
-        print(f"resumed from {ckpt} after phase {last_phase}")
+        if int(cmeta.get("in_progress", 0)):
+            # mid-phase restore: `key` is the phase-INNER continuation key;
+            # the outer key (for subsequent phases) travels in meta.
+            mid_phase, mid_key = last_phase, key
+            mid_emitted = int(cmeta.get("emitted", 0))
+            key = jax.random.wrap_key_data(jnp.asarray(cmeta["outer_key"]))
+            done_phases = order[:order.index(last_phase)] \
+                if last_phase in order else []
+            print(f"resumed from {ckpt} mid-phase {last_phase} "
+                  f"({mid_emitted} records already emitted)")
+        else:
+            done_phases = order[:order.index(last_phase) + 1] \
+                if last_phase in order else []
+            print(f"resumed from {ckpt} after phase {last_phase}")
     else:
         key, sub = jax.random.split(key)
-        state = init_state(problem, hp, n_temps, n_chains, sub)
+        state = _place(init_state(problem, hp, n_temps, n_chains, sub))
 
     from tamcmc_tpu.utils.metrics import MetricsLogger
-    metrics = MetricsLogger(str(outdir / "metrics.jsonl"))
+    metrics = MetricsLogger(str(outdir / "metrics.jsonl"),
+                            enabled=is_writer_proc)
     metrics.log("run_start", n_temps=n_temps, n_chains=n_chains,
-                ndim_free=problem.ndim_free, seed=args.seed)
-    writer = OutputWriter(str(outdir), problem.free_names, n_temps, n_chains)
+                ndim_free=problem.ndim_free, seed=args.seed,
+                mesh=getattr(args, "mesh", None) or "",
+                processes=jax.process_count())
+    # Multi-host: every process writes ITS slice of the (replicated)
+    # cold-rung walker records — host-parallel IO, no duplication;
+    # read_bin_samples merges the host shards transparently.
+    walker_slice, shard_tag = None, ""
+    if multiproc:
+        from tamcmc_tpu.parallel.distributed import process_local_slice
+        walker_slice = process_local_slice(n_chains)
+        shard_tag = f"host{pid}"
+    writer = OutputWriter(str(outdir), problem.free_names, n_temps, n_chains,
+                          walker_slice=walker_slice, shard_tag=shard_tag,
+                          keep_chains=is_writer_proc)
+    ckpt_every = getattr(args, "ckpt_every", 0) or 0
+
+    def _save_ckpt(s, k, phase, meta_d=None):
+        # multi-host gather is a collective: ALL processes must enter it
+        if mesh is not None:
+            from tamcmc_tpu.parallel.sharded import gather_state_to_host
+            s = gather_state_to_host(s)
+        if is_writer_proc:
+            save_checkpoint(str(ckpt), s, k, phase=phase, meta=meta_d)
+
     results = {}
     t0 = time.time()
     profiling = getattr(args, "profile", False)
     for name, n_steps, adapt in plan.phases():
         if n_steps <= 0 or name in done_phases:
             continue
-        key, sub = jax.random.split(key)
+        already = 0
+        if name == mid_phase:
+            already, sub = mid_emitted, mid_key
+            writer.resume_phase(
+                name, already * (walker_slice[1] - walker_slice[0]
+                                 if walker_slice else n_chains))
+        else:
+            key, sub = jax.random.split(key)
         tp = time.time()
         import contextlib
         prof_ctx = (jax.profiler.trace(str(outdir / "jax_trace"))
                     if profiling and name == "A" else contextlib.nullcontext())
+
         def _on_chunk(o, _n=name):
             writer.append_chunk(_n, o)
             if debug:
@@ -179,29 +271,54 @@ def cmd_run(args):
                     metrics.log("debug_nonfinite", phase=_n, **bad)
                     print(f"[debug] non-finite values in chunk: {bad}")
 
-        with prof_ctx:
-            state, outs = run_phase(
-                problem, hp, betas, state, sub, n_steps, adapt=adapt,
-                thin=plan.thin, chunk=plan.chunk,
-                on_chunk=_on_chunk)
+        _chunk_no = [0]
+
+        def _on_state(s, k, emitted, _n=name, _outer=None):
+            if not ckpt_every:
+                return
+            _chunk_no[0] += 1
+            if _chunk_no[0] % ckpt_every == 0:
+                writer.save_partial(_n)
+                _save_ckpt(s, k, _n, {
+                    "in_progress": 1, "emitted": emitted,
+                    "outer_key": np.asarray(jax.random.key_data(key))})
+
+        try:
+            with prof_ctx:
+                state, outs = run_phase(
+                    problem, hp, betas, state, sub, n_steps, adapt=adapt,
+                    thin=plan.thin, chunk=plan.chunk,
+                    on_chunk=_on_chunk, on_state=_on_state, mesh=mesh,
+                    already_emitted=already)
+        except BaseException:
+            writer.abort()      # drain buffers, no .hdr — resumable state
+            raise
         writer.finalize_phase(name)
-        results[name] = outs
-        save_checkpoint(str(ckpt), state, key, phase=name)
+        if outs:
+            results[name] = outs
+        _save_ckpt(state, key, name)
         dt = time.time() - tp
-        acc_t = np.asarray(state.acc_rate).mean(axis=-1)     # walker mean
+        host_state = state
+        if mesh is not None:
+            from tamcmc_tpu.parallel.sharded import gather_state_to_host
+            host_state = gather_state_to_host(state)
+        acc_t = np.asarray(host_state.acc_rate).mean(axis=-1)   # walker mean
         acc = float(acc_t[0])
-        swap = np.asarray(state.nswap_acc) / np.maximum(
-            np.asarray(state.nswap_att), 1)
+        swap = np.asarray(host_state.nswap_acc) / np.maximum(
+            np.asarray(host_state.nswap_att), 1)
         metrics.log("phase_end", phase=name, steps=n_steps, wall_s=round(dt, 2),
                     steps_per_s=round(n_steps / dt, 1),
                     cold_acceptance=round(acc, 4),
                     acceptance=[round(float(a), 4) for a in acc_t],
                     swap_rates=[round(float(s), 4) for s in swap[:-1]],
                     sigma=[round(float(s), 6) for s in
-                           np.exp(np.asarray(state.log_sigma)).mean(axis=-1)])
+                           np.exp(np.asarray(host_state.log_sigma)).mean(axis=-1)])
         print(f"phase {name}: {n_steps} steps in {dt:.1f}s "
               f"({n_steps / dt:.0f} it/s), cold acc={acc:.3f}")
     writer.close()
+    if not is_writer_proc:
+        print(f"process {pid}: sample shards written to {outdir}")
+        return
 
     phase = "A" if "A" in results else (list(results)[-1] if results else None)
     if phase:
@@ -226,8 +343,11 @@ def cmd_run(args):
 
 
 def cmd_batch(args):
-    """Serial multi-star runs from a presets table — the reference's
-    `config_presets.cfg` workflow (SURVEY.md section 2 'Config system')."""
+    """Multi-star runs from a presets table — the reference's
+    `config_presets.cfg` workflow (SURVEY.md section 2 'Config system').
+    Default: serial, one fit after another (the reference behaviour).
+    --stacked: all stars advance in ONE vmapped program (aligned grids
+    required — sampler/ensemble.py), S posteriors for one program's cost."""
     import argparse
     import tomllib
     with open(args.presets, "rb") as f:
@@ -236,6 +356,8 @@ def cmd_batch(args):
     if not stars:
         raise SystemExit(f"{args.presets}: no [[star]] entries")
     base = pathlib.Path(args.presets).parent
+    if getattr(args, "stacked", False):
+        return _batch_stacked(args, stars, base)
     for i, star in enumerate(stars):
         ns = argparse.Namespace(
             demo=star.get("demo"), problem=star.get("problem"),
@@ -251,6 +373,73 @@ def cmd_batch(args):
         print(f"=== star {i + 1}/{len(stars)}: "
               f"{ns.problem or ns.demo} -> {ns.outdir} ===")
         cmd_run(ns)
+
+
+def _batch_stacked(args, stars, base):
+    """Aligned-grid stacked ensemble: ONE vmapped sampler over all stars
+    (SURVEY.md section 2 'Ensemble/data parallelism' — the reference runs
+    its presets table strictly serially; this is the rebuild's win)."""
+    import argparse
+    import jax
+    from tamcmc_tpu.sampler import make_beta_ladder
+    from tamcmc_tpu.sampler.ensemble import (
+        validate_stackable, init_ensemble_state, run_ensemble_phases)
+    from tamcmc_tpu.io.outputs import OutputWriter
+    from tamcmc_tpu.diagnostics.summary import posterior_summary, format_summary
+
+    problems, outdirs = [], []
+    hp = plan = meta0 = None
+    for i, star in enumerate(stars):
+        ns = argparse.Namespace(
+            demo=star.get("demo"), problem=star.get("problem"),
+            seed=int(star.get("seed", 0)),
+            temps=star.get("temps"), chains=star.get("chains"),
+            burnin=star.get("burnin"), learning=star.get("learning"),
+            acquire=star.get("acquire"), thin=star.get("thin"))
+        if ns.problem and not pathlib.Path(ns.problem).is_absolute():
+            ns.problem = str(base / ns.problem)
+        problem, hp_i, plan_i, meta_i = _build_problem(ns)
+        problems.append(problem)
+        outdirs.append(pathlib.Path(base / star.get("outdir", f"star_{i}")))
+        if i == 0:
+            hp, plan, meta0 = hp_i, plan_i, meta_i
+    try:
+        validate_stackable(problems)
+    except ValueError as e:
+        raise SystemExit(
+            f"batch --stacked: problems are not stackable ({e}); "
+            "use the serial default for heterogeneous stars")
+    n_temps = int(stars[0].get("temps", meta0.get("n_temps", 6)))
+    n_chains = int(stars[0].get("chains", meta0.get("n_chains", 4)))
+    betas = make_beta_ladder(n_temps, hp.lambda_temp)
+    key = jax.random.PRNGKey(int(stars[0].get("seed", 0)))
+    key, sub = jax.random.split(key)
+    states = init_ensemble_state(problems, hp, n_temps, n_chains, sub)
+    t0 = time.time()
+    print(f"stacked ensemble: {len(problems)} stars x {n_temps} temps x "
+          f"{n_chains} walkers, {problems[0].ndim_free} free dims")
+    states, results = run_ensemble_phases(problems, hp, betas, states, key,
+                                          plan)
+    dt = time.time() - t0
+    total = plan.burnin + plan.learning + plan.acquire
+    print(f"ensemble done: {total} steps x {len(problems)} stars "
+          f"in {dt:.1f}s ({total / dt:.0f} it/s/star)")
+    for s, (problem, outdir) in enumerate(zip(problems, outdirs)):
+        outdir.mkdir(parents=True, exist_ok=True)
+        writer = OutputWriter(str(outdir), problem.free_names, n_temps,
+                              n_chains)
+        for phase, recs in results.items():
+            writer.append_chunk(phase, {k: v[:, s] for k, v in recs.items()})
+            writer.finalize_phase(phase)
+        writer.close()
+        th = results["A"]["theta0"][:, s] if "A" in results else None
+        if th is not None:
+            rows = posterior_summary(th, names=problem.free_names)
+            with open(outdir / "summary.json", "w") as f:
+                json.dump(rows, f, indent=1)
+            print(f"--- star {s}: {outdir} ---")
+            print(format_summary(rows, max_rows=12))
+    print(f"stacked outputs in {len(outdirs)} star directories")
 
 
 def cmd_export(args):
@@ -330,6 +519,12 @@ def cmd_make_example(args):
                        likelihood=problem.likelihood, data=data_name,
                        spec_kwargs=meta.get("spec_kwargs"),
                        sampler=sampler, phases=phases)
+    if getattr(args, "model_format", False):
+        from tamcmc_tpu.io.reference import write_model_provisional
+        write_model_provisional(str(outdir / "problem.model"), meta["model"],
+                                np.asarray(problem.params0), problem.priors,
+                                likelihood=problem.likelihood, data=data_name,
+                                spec_kwargs=meta.get("spec_kwargs"))
     if "truth" in meta:
         np.savetxt(outdir / "truth.txt", np.asarray(meta["truth"]),
                    header="injected parameter values (full ABI vector)")
@@ -379,6 +574,19 @@ def main(argv=None):
     pr.add_argument("--debug", action="store_true",
                     help="debug mode: jax_debug_nans + per-chunk finite "
                          "checks surfaced in metrics.jsonl (SURVEY 5.2)")
+    pr.add_argument("--mesh",
+                    help="shard the run over a TEMPSxCHAINS device mesh, "
+                         "e.g. 4x2 (SURVEY 5.8 scale-out: tempering swaps "
+                         "become neighbour collectives on the temp axis)")
+    pr.add_argument("--distributed", action="store_true",
+                    help="multi-host: initialise jax.distributed from "
+                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                         "JAX_PROCESS_ID before building the mesh; each "
+                         "host writes its own sample shard")
+    pr.add_argument("--ckpt-every", type=int, dest="ckpt_every", default=0,
+                    help="intra-phase checkpoint cadence in chunks (0 = "
+                         "phase boundaries only); a killed run resumes "
+                         "bitwise from the last chunk checkpoint")
     pr.add_argument("--max-rows", type=int, default=40)
     pr.set_defaults(fn=cmd_run)
 
@@ -388,6 +596,10 @@ def main(argv=None):
                     help="TOML with [[star]] entries: problem/demo, outdir, "
                          "optional overrides (temps, chains, burnin, ...)")
     pb.add_argument("--resume", action="store_true")
+    pb.add_argument("--stacked", action="store_true",
+                    help="advance ALL stars in one vmapped program "
+                         "(requires aligned grids + shared model family; "
+                         "S posteriors for one program's launch cost)")
     pb.set_defaults(fn=cmd_batch)
 
     pe = sub.add_parser("export", help="binary samples -> ASCII (bin2txt)")
@@ -421,6 +633,9 @@ def main(argv=None):
                     help="override the demo's frequency-grid size")
     px.add_argument("--npz", action="store_true",
                     help="write spectrum.npz instead of ASCII .data")
+    px.add_argument("--model-format", action="store_true", dest="model_format",
+                    help="also export problem.model in the provisional "
+                         "reference setup format (io/reference.py)")
     px.set_defaults(fn=cmd_make_example)
 
     pl = sub.add_parser("list-models", help="print model registry")

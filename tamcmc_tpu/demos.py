@@ -36,7 +36,11 @@ def _make_synthetic(fn, truth, nu, key):
     pathologically slow over this sandbox's TPU tunnel, and data generation
     is a one-shot setup task — keep the TPU for the sampler."""
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices, NOT devices: in a multi-process run the first
+        # global CPU device may belong to another process, and committing
+        # data there makes every downstream eager op fail with
+        # "not fully addressable"
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
 
@@ -52,10 +56,16 @@ def _make_synthetic(fn, truth, nu, key):
     return gen(truth, nu, key)
 
 
-def make_demo(name: str, seed: int = 0, ngrid: int = None):
-    """Returns (problem, hp, plan, meta) — meta includes truth params."""
+def make_demo(name: str, seed: int = 0, ngrid: int = None,
+              n_orders: int = None):
+    """Returns (problem, hp, plan, meta) — meta includes truth params.
+
+    ngrid/n_orders scale a demo down for CI (tests run BASELINE configs 4-5
+    end-to-end on CPU in minutes — VERDICT round-1 item 7); the defaults are
+    the production-scale configs."""
     key = jax.random.PRNGKey(seed)
     name = name.lower()
+    n_orders_cli = n_orders
     if name == "single_lorentzian":
         fn, layout = build_model("model_Single_Lorentzian")
         nu = jnp.linspace(10.0, 90.0, 8192)
@@ -121,6 +131,8 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
             n_temps, n_chains, ngrid = 10, 6, ngrid or 120_000
             lmax = 3
             plan = PhasePlan(burnin=4000, learning=20000, acquire=25000, thin=5)
+        if n_orders_cli:
+            n_orders = n_orders_cli
         n_per_l = tuple(n_orders if l <= lmax else 0 for l in range(4))
         spec_obj = MSGlobalSpec(n_per_l=n_per_l)
         fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", spec_obj)
@@ -210,7 +222,7 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None):
         from tamcmc_tpu.ops.armm import count_poles
         dnu, dpi1, eps_g, qq = 10.0, 80.0, 0.0, 0.15
         numin, numax_w = 100.0, 160.0
-        n_orders = 5
+        n_orders = n_orders_cli or 5
         n_p, n_g = count_poles(dnu, dpi1, 0.4, eps_g, numin, numax_w)
         spec_obj = RGBAsymptSpec(n_orders=n_orders, numin=numin,
                                  numax_win=numax_w, n_p_poles=n_p,

@@ -43,6 +43,8 @@ def _load():
                               ctypes.c_long]
     lib.rw_count.restype = ctypes.c_long
     lib.rw_count.argtypes = [ctypes.c_void_p]
+    lib.rw_flush.restype = ctypes.c_int
+    lib.rw_flush.argtypes = [ctypes.c_void_p]
     lib.rw_close.restype = ctypes.c_int
     lib.rw_close.argtypes = [ctypes.c_void_p]
     lib.ascii_read_table.restype = ctypes.c_long
@@ -82,6 +84,12 @@ class NativeRecordWriter:
     @property
     def count(self) -> int:
         return int(self._lib.rw_count(self._h))
+
+    def flush(self) -> None:
+        """Block until every appended record is in the file — the
+        intra-phase checkpoint barrier (see outputs.OutputWriter.save_partial)."""
+        if self._h and self._lib.rw_flush(self._h):
+            raise OSError("rw_flush reported write errors")
 
     def close(self) -> None:
         if self._h:

@@ -117,14 +117,21 @@ def write_problem_file(path: str, model: str, params0, priors: PriorTable,
 
 
 def read_reference_model(path: str):
-    """Byte-compat reader for the C++ reference's `.model` format.
+    """BYTE-compat reader for the C++ reference's `.model` format.
 
-    RE-GROUNDING POINT: the reference tree was unreadable this round
-    (empty mount — see SURVEY.md provenance).  Implementing this requires
-    the actual io_ms_global.cpp format; raising instead of guessing keeps
-    silent mis-parses (SURVEY.md 'hard parts' item 5) impossible.
+    RE-GROUNDING POINT: the reference tree was unreadable in every round so
+    far (empty mount — see SURVEY.md provenance).  Implementing byte-compat
+    requires the actual io_ms_global.cpp format; raising instead of guessing
+    keeps silent mis-parses (SURVEY.md 'hard parts' item 5) impossible.
+
+    A PROVISIONAL reader implementing the format's documented *semantics*
+    (initial values, relax flags, prior kind + hypers per row, family
+    switches) exists in io/reference.py — `read_model_provisional` — and is
+    what `tamcmc run --problem x.model` routes through, with a warning
+    banner.  The day the mount is populated, parity starts there.
     """
     raise NotImplementedError(
-        "reference .model byte-compat requires the reference tree "
-        "(/root/reference was empty this round); use the native TOML "
-        "problem file or convert externally")
+        "reference .model BYTE-compat requires the reference tree "
+        "(/root/reference was empty this round); use "
+        "io.reference.read_model_provisional (semantic, provisional) or "
+        "the native TOML problem file")

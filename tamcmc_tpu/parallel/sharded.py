@@ -21,6 +21,7 @@ fallback if GSPMD's choices prove suboptimal; profile first.)
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -68,8 +69,13 @@ def make_sharded_phase_runner(problem, hp, betas, mesh, adapt: bool,
         keys = jax.random.split(key, n_emit)
         return jax.lax.scan(super_step, state, keys)
 
+    # ALL records are emitted fully replicated: they are small (the cold
+    # rung + per-rung scalars), and replication means every host can
+    # device_get them directly — the multi-host writer path needs no
+    # collectives of its own.  (logL (E,T,C) costs one tiny all-gather per
+    # emit, amortised over `thin` raw steps.)
     out_record_sh = {
-        "theta0": rep, "logL": NamedSharding(mesh, P(None, "temp", "chain")),
+        "theta0": rep, "logL": rep,
         "logP0": rep, "log_sigma": rep, "acc_rate": rep, "mu0": rep,
         "cov_diag0": rep, "swap_att": rep, "swap_acc": rep,
     }
@@ -77,3 +83,18 @@ def make_sharded_phase_runner(problem, hp, betas, mesh, adapt: bool,
                    in_shardings=(sh, rep),
                    out_shardings=(sh, out_record_sh),
                    donate_argnums=(0,))
+
+
+def gather_state_to_host(state):
+    """Full host copy of a (possibly multi-host-sharded) SamplerState.
+
+    Single-host meshes: a plain device_get.  Multi-host: non-addressable
+    arrays are all-gathered across processes first, so every host can write
+    a complete restore checkpoint (SURVEY.md section 5.4 — restore files
+    must be self-contained)."""
+    def g(x):
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+    return jax.tree.map(g, state)

@@ -89,29 +89,58 @@ def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
 
 
 def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
-              chunk=200, on_chunk: Optional[Callable] = None):
+              chunk=200, on_chunk: Optional[Callable] = None,
+              on_state: Optional[Callable] = None, mesh=None,
+              already_emitted: int = 0):
     """Run one phase; returns (state, dict of stacked host outputs).
 
     on_chunk(outputs_dict) is called with device arrays after each chunk
     (for streaming writers/checkpoints); outputs are also accumulated and
     returned stacked on the emit axis.
+
+    on_state(state, key, emitted) is called after each chunk with the
+    carry state and the NEXT chunk's base key — checkpointing exactly this
+    pair makes a mid-phase resume bitwise-identical to the uninterrupted
+    run (the key stream restarts where it stopped).
+
+    mesh: a (temp, chain) jax.sharding.Mesh routes the identical phase
+    through the GSPMD-sharded runner (parallel/sharded.py) — the SURVEY
+    section 5.8 scale-out path; state must already be placed with
+    `shard_state`.
+
+    already_emitted: skip this many already-emitted records (mid-phase
+    resume; must be a multiple of the original run's chunk size).
     """
     n_emit_total = max(n_steps // thin, 1)
     collected = []
-    remaining = n_emit_total
     # One compiled runner per (adapt, chunk): the final partial chunk runs at
     # the full chunk size (slight overshoot beats recompiling — XLA compiles
     # are the expensive resource on the TPU tunnel, not extra iterations).
     chunk = min(chunk, n_emit_total)
-    runner = make_phase_runner(problem, hp, betas, adapt, thin, chunk)
+    if already_emitted % chunk != 0:
+        raise ValueError(f"already_emitted={already_emitted} is not a "
+                         f"multiple of chunk={chunk}; resume would desync "
+                         "the key stream")
+    remaining = n_emit_total - already_emitted
+    emitted = already_emitted
+    if mesh is not None:
+        from tamcmc_tpu.parallel.sharded import make_sharded_phase_runner
+        runner = make_sharded_phase_runner(problem, hp, betas, mesh, adapt,
+                                           thin, chunk)
+    else:
+        runner = make_phase_runner(problem, hp, betas, adapt, thin, chunk)
     while remaining > 0:
-        n_emit = chunk
         key, sub = jax.random.split(key)
         state, outs = runner(state, sub)
+        emitted += chunk
         if on_chunk is not None:
             on_chunk(outs)
+        if on_state is not None:
+            on_state(state, key, emitted)
         collected.append(jax.device_get(outs))
-        remaining -= n_emit
+        remaining -= chunk
+    if not collected:          # resumed exactly at the phase boundary
+        return state, {}
     import numpy as np
     stacked = {k: np.concatenate([c[k] for c in collected], axis=0)
                for k in collected[0]}

@@ -15,17 +15,24 @@ import pathlib
 
 
 class MetricsLogger:
-    def __init__(self, path: str):
+    def __init__(self, path: str, enabled: bool = True):
+        # enabled=False: no-op logger for non-writer processes in multi-host
+        # runs (one metrics.jsonl per run, owned by process 0)
+        self.enabled = enabled
         self.path = pathlib.Path(path)
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.path, "a")
+        if enabled:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "a")
         self._t0 = time.time()
 
     def log(self, event: str, **fields):
+        if not self.enabled:
+            return
         rec = {"t": round(time.time() - self._t0, 3), "event": event}
         rec.update(fields)
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
 
     def close(self):
-        self._f.close()
+        if self.enabled:
+            self._f.close()

@@ -83,6 +83,36 @@ def main():
     print(f"DIST_OK pid={jax.process_index()} attempts={att_local.tolist()}",
           flush=True)
 
+    # ---- stage 2: FULL user-facing B/L/A fit through the CLI ----
+    # (VERDICT round-1 item 1: "the two-process gloo harness runs a full
+    # B/L/A fit, not just swap bookkeeping").  Same entry point a user runs:
+    # `tamcmc run --distributed --mesh 8x1`; each host writes its own sample
+    # shard, process 0 owns metrics/summary/checkpoints.
+    import tempfile
+    from tamcmc_tpu.cli import main as cli_main
+
+    outdir = os.environ.get("DIST_FIT_OUTDIR") or tempfile.mkdtemp(
+        prefix="dist_fit_")
+    cli_main(["run", "--demo", "single_lorentzian", "--outdir", outdir,
+              "--distributed", "--mesh", "8x1", "--temps", "8",
+              "--burnin", "60", "--learning", "120", "--acquire", "120",
+              "--thin", "6", "--ckpt-every", "1", "--no-report"])
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("fit_done")
+
+    pid = jax.process_index()
+    import pathlib as _pl
+    shard = _pl.Path(outdir) / f"A_samples.host{pid}.bin"
+    assert shard.exists(), f"missing per-host shard {shard}"
+    if pid == 0:
+        from tamcmc_tpu.io.outputs import read_bin_samples
+        samples, names = read_bin_samples(outdir, "A")
+        assert samples.shape == (20 * 8, 4), samples.shape  # emits x walkers
+        assert np.all(np.isfinite(samples))
+        assert (_pl.Path(outdir) / "summary.json").exists()
+        assert (_pl.Path(outdir) / "restore.npz").exists()
+    print(f"DIST_FIT_OK pid={pid} outdir={outdir}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -34,7 +34,8 @@ def test_two_process_sampler(tmp_path):
     for pid in range(2):
         env = dict(env_base,
                    JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                   DIST_FIT_OUTDIR=str(tmp_path / "dist_fit"))
         log = open(tmp_path / f"worker{pid}.log", "w+")
         logs.append(log)
         procs.append(subprocess.Popen(
@@ -53,3 +54,4 @@ def test_two_process_sampler(tmp_path):
         log.close()
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"DIST_OK pid={pid}" in out, out[-4000:]
+        assert f"DIST_FIT_OK pid={pid}" in out, out[-4000:]
