@@ -21,6 +21,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tamcmc_tpu.utils.cache import enable_compile_cache, ensure_cpu_fallback
@@ -80,6 +81,77 @@ def main():
 
     n_steps = reps * n_emit * thin
     steps_per_s = n_steps / dt
+
+    # --- roofline accounting (SURVEY section 7 stage 7) ---
+    # Analytic FLOP model of the fused step, counting div/log as 1 flop
+    # (conservative: they cost several VPU ops each).  Lorentzian per
+    # (component, bin): sub, mul, mul, add, div, mul, add = 7; chi22p logL
+    # per bin: log + div + add (+mask) ~ 5; backward ~= 2x forward.
+    spec_np_l = meta.get("spec_kwargs", {}).get("n_per_l", (6, 6, 6, 0))
+    K = sum(n * (2 * l + 1) for l, n in enumerate(spec_np_l))
+    N = int(np.asarray(problem.nu).shape[0])
+    W = T * C
+    flops_fwd_walker = (7 * K + 10) * N
+    flops_step = 3 * flops_fwd_walker * W
+    achieved_gflops = flops_step * steps_per_s / 1e9
+
+    # Empirical VPU f32 peak on THIS chip: a fused-multiply-add chain with
+    # high arithmetic intensity (UNROLL chained FMAs per element per loop
+    # iteration -> 2*UNROLL flops/4 bytes, far above the HBM roofline knee,
+    # so the measurement is compute-bound, not bandwidth-bound).
+    log("measuring VPU FMA peak")
+    size, iters, unroll = 1 << 21, 64, 32
+    xb = jnp.full((size,), 1.000001, jnp.float32)
+
+    @jax.jit
+    def fma_chain(y):
+        def body(i, y):
+            for _ in range(unroll):
+                y = y * 1.0000001 + 1e-9
+            return y
+        return jax.lax.fori_loop(0, iters, body, y)
+
+    fma_chain(xb).block_until_ready()
+    t = time.time()
+    fma_chain(xb).block_until_ready()
+    fma_chain(xb).block_until_ready()
+    dt_fma = (time.time() - t) / 2
+    vpu_peak_gflops = 2 * size * iters * unroll / dt_fma / 1e9
+    roofline_frac = achieved_gflops / max(vpu_peak_gflops, 1e-9)
+
+    # --- where the step time goes: fwd vs fwd+bwd vs full step ---
+    # 4 extra tunnel compiles (~30-60 s each) — opt-in so the driver's
+    # default bench stays inside its timeout.  Run once per perf pass with
+    # TAMCMC_BENCH_PROFILE=1; results recorded in BASELINE.md.
+    t_step = dt / n_steps
+    t_fwd = t_fwdbwd = t_chol = None
+    if os.environ.get("TAMCMC_BENCH_PROFILE"):
+        log("profiling step components")
+        th0 = state.theta
+
+        def timeit(fn, *a):
+            out = fn(*a)                 # compile + warm
+            jax.block_until_ready(out)
+            t = time.time()
+            for _ in range(5):
+                out = fn(*a)
+            jax.block_until_ready(out)
+            return (time.time() - t) / 5
+
+        # every jitted call over the remote-TPU tunnel pays an RPC floor of
+        # several ms; measure it with a no-op and subtract, otherwise the
+        # "anatomy" just measures the tunnel
+        t_noop = timeit(jax.jit(lambda x: x + 1.0), th0)
+        fwd = jax.jit(lambda x: problem.batched_log_parts(x))
+        fwdbwd = jax.jit(lambda x: problem.batched_logparts_and_grad(x))
+        t_fwd = max(timeit(fwd, th0) - t_noop, 1e-6)
+        t_fwdbwd = max(timeit(fwdbwd, th0) - t_noop, 1e-6)
+
+        @jax.jit
+        def chol_fn(cv):
+            return jnp.linalg.cholesky(cv + 1e-8 * jnp.eye(cv.shape[-1]))
+
+        t_chol = max(timeit(chol_fn, state.cov) - t_noop, 1e-6)
     # ESS summed over free params' slowest? Headline: mean ESS across params
     E, Cc, Df = theta.shape
     ess = np.array([effective_sample_size(theta[:, :, i]) for i in range(Df)])
@@ -189,6 +261,17 @@ def main():
             "baseline_steps_per_s_numpy_sequential": round(ref_steps_per_s, 2),
             "warmup_s": round(t_warm, 1),
             "timed_s": round(dt, 1),
+            # roofline + step anatomy (SURVEY section 7 stage 7)
+            "achieved_gflops_f32": round(achieved_gflops, 1),
+            "vpu_fma_peak_gflops_measured": round(vpu_peak_gflops, 1),
+            "roofline_frac_of_vpu_fma": round(roofline_frac, 3),
+            "lorentzian_components": int(K),
+            "t_full_step_ms": round(t_step * 1e3, 3),
+            **({"t_model_fwd_ms": round(t_fwd * 1e3, 3),
+                "t_model_fwdbwd_ms": round(t_fwdbwd * 1e3, 3),
+                "t_chol_refresh_ms": round(t_chol * 1e3, 3),
+                "model_eval_frac_of_step": round(t_fwdbwd / t_step, 3)}
+               if t_fwd is not None else {}),
         },
     }
     print(json.dumps(result))

@@ -203,6 +203,15 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
                          spec=spec, params0=jnp.asarray(p0, jnp.float32))
         scales = np.asarray(default_init_scales(_prob0))   # (Df,) prior-based
         p0[free] = p0[free] + 3.0 * scales * rng.standard_normal(free.sum())
+        # static truncation windows anchored at p0 (reference c*Gamma
+        # algorithm; 10 uHz margin >> the 5-sigma prior wander of any
+        # frequency) — ~5-10x less Lorentzian arithmetic per step
+        import dataclasses as _dc
+        hint = (tuple(float(v) for v in p0),
+                float(numax - half), float(2 * half / (ngrid - 1)),
+                int(ngrid), 10.0)
+        fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike",
+                                 _dc.replace(spec_obj, window_hint=hint))
         from tamcmc_tpu.stats.assemblers import build_family_constraints
         extra = build_family_constraints("model_MS_Global_a1etaa3_HarveyLike",
                                          layout)
@@ -235,7 +244,10 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
         truth[vo:vo + 2] = [1.5, 0.53]
         truth[layout.offset("freq_l0"):layout.offset("freq_l0") + n_orders] = f0
         truth[layout.offset("freq_l2"):layout.offset("freq_l2") + n_orders] = f0 - 1.2
-        truth[layout.offset("mixed"):layout.offset("mixed") + 3] = [dpi1, eps_g, qq]
+        # O(2) terms (delta0l, alpha_p, alpha_g) zero: first-order truth —
+        # the solver's bump_DP-depth extensions are exercised in test_armm
+        truth[layout.offset("mixed"):layout.offset("mixed") + 6] = \
+            [dpi1, eps_g, qq, 0.0, 0.0, 0.0]
         truth[layout.offset("rot"):layout.offset("rot") + 3] = [0.05, 0.4, 0.0]
         truth[layout.offset("widths"):layout.offset("widths") + n_orders] = 0.15
         no = layout.offset("noise")
@@ -255,6 +267,7 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
         rows += [("DPi1", "uniform", 60.0, 100.0),
                  ("eps_g", "uniform", -0.5, 0.5),
                  ("q", "uniform", 0.02, 0.5),
+                 ("delta0l", "fix"), ("alpha_p", "fix"), ("alpha_g", "fix"),
                  ("a1_env", "uniform", 0.0, 0.5),
                  ("a1_core", "uniform", 0.0, 1.5),
                  ("asym", "fix")]

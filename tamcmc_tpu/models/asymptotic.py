@@ -16,7 +16,11 @@ Conventions used here (re-ground against bump_DP.cpp when readable):
 Block ABI:
   heights (N0,)  visibilities (2,) [V^2_1, V^2_2]
   freq_l0 (N0,)  freq_l2 (N0,)
-  mixed (3,)     [DPi1 s, eps_g, q]
+  mixed (6,)     [DPi1 s, eps_g, q, delta0l uHz, alpha_p, alpha_g]
+                 delta0l: l=1 p-ridge small separation; alpha_p: O(2)
+                 curvature of the radial comb; alpha_g: period-spacing
+                 curvature — the bump_DP-depth asymptotics [U]; all three
+                 default to 0 (Fix) for the first-order relation
   rot (3,)       [a1_env, a1_core, asym]
   widths (N0,)   noise (3nh+1,)  inclination (1,)  trunc (1,)
 
@@ -56,7 +60,7 @@ class RGBAsymptSpec:
         return BlockLayout.make([
             ("heights", n0), ("visibilities", 2),
             ("freq_l0", n0), ("freq_l2", n0),
-            ("mixed", 3), ("rot", 3),
+            ("mixed", 6), ("rot", 3),
             ("widths", nw), ("noise", 3 * self.n_harvey + 1),
             ("inclination", 1), ("trunc", 1),
         ])
@@ -78,7 +82,8 @@ def build_rgb_asympt(spec: RGBAsymptSpec):
         vis = layout.get(params, "visibilities")
         f0 = layout.get(params, "freq_l0")
         f2 = layout.get(params, "freq_l2")
-        dpi1, eps_g, q = (layout.get(params, "mixed")[..., i] for i in range(3))
+        dpi1, eps_g, q, delta0l, alpha_p, alpha_g = (
+            layout.get(params, "mixed")[..., i] for i in range(6))
         a1_env, a1_core, asym = (layout.get(params, "rot")[..., i]
                                  for i in range(3))
         inc = layout.get(params, "inclination")[..., 0]
@@ -112,7 +117,8 @@ def build_rgb_asympt(spec: RGBAsymptSpec):
         # l = 1: asymptotic mixed-mode forest
         f1, zeta, valid = mixed_mode_frequencies(
             dnu, eps_p, dpi1, eps_g, q, spec.numin, spec.numax_win,
-            spec.n_p_poles, spec.n_g_poles)
+            spec.n_p_poles, spec.n_g_poles,
+            delta0l=delta0l, alpha_p=alpha_p, alpha_g=alpha_g)
         h1 = interp_monotonic(f1, f0, heights) * vis[..., 0] * valid
         w1 = jnp.maximum(interp_monotonic(f1, f0, widths) * (1.0 - zeta), 0.005)
         split = zeta * a1_core / 2.0 + (1.0 - zeta) * a1_env

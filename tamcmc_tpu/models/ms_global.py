@@ -46,6 +46,14 @@ class MSGlobalSpec:
     width_kind: str = "free"    # "free" (N0 per-mode widths) or "app2016"
                                 # (6-param Appourchaux+2016 relation; see
                                 # ops.widths — AppWidth reference families)
+    window_hint: tuple = None   # optional static-truncation hint
+                                # (params0_tuple, nu_start, nu_step, n_bins,
+                                # margin_uHz): switches the Lorentzian
+                                # accumulation to static window groups
+                                # anchored at params0 — the reference's
+                                # c*Gamma truncation ALGORITHM (skip the
+                                # work), ~5-10x less (comp x bin) arithmetic
+                                # on config-3 grids.  None = dense masked.
 
     @property
     def lmax(self):
@@ -97,7 +105,7 @@ def build_ms_global(spec: MSGlobalSpec):
     layout = spec.layout()
     n_per_l = tuple(spec.n_per_l) + (0,) * (4 - len(spec.n_per_l))
 
-    def model_fn(params, nu):
+    def assemble(params):
         heights = layout.get(params, "heights")
         widths = layout.get(params, "widths")
         if spec.width_kind == "app2016":
@@ -167,8 +175,39 @@ def build_ms_global(spec: MSGlobalSpec):
             eta0 = _eta0_ingraph(freqs_per_l[0], sw)
             H, C, W, B = assemble_components_aj(
                 freqs_per_l, heights, widths, vis, inc, aj, eta0, asym)
+        return H, C, W, B, noise
 
-        modes = sum_lorentzians(nu, H, C, W, B)
+    groups = None
+    if spec.window_hint is not None:
+        # resolve static truncation windows ONCE at build time from the
+        # initial parameter vector (margin covers posterior wander)
+        import numpy as np
+        import jax
+        from tamcmc_tpu.ops.lorentzian import make_static_window_groups
+        p0_t, nu_start, nu_step, n_bins, margin = spec.window_hint
+        p0 = jnp.asarray(np.asarray(p0_t, dtype=np.float32))
+        # one small jitted CPU call — eager assembly would dispatch dozens
+        # of tiny ops over a remote-TPU tunnel
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        import contextlib
+        ctx = jax.default_device(cpu) if cpu else contextlib.nullcontext()
+        with ctx:
+            H0, C0, W0, B0, _ = jax.jit(assemble)(p0)
+        trunc0 = float(np.asarray(layout.get(p0, "trunc"))[0]) or 40.0
+        hw = trunc0 * np.maximum(np.asarray(W0), 1e-3) + float(margin)
+        groups = make_static_window_groups(np.asarray(C0), hw, nu_start,
+                                           nu_step, int(n_bins))
+
+    def model_fn(params, nu):
+        H, C, W, B, noise = assemble(params)
+        if groups is not None:
+            from tamcmc_tpu.ops.lorentzian import sum_lorentzians_grouped
+            modes = sum_lorentzians_grouped(nu, H, C, W, B, groups)
+        else:
+            modes = sum_lorentzians(nu, H, C, W, B)
         bg = noise_background(nu, noise, n_harvey=spec.n_harvey,
                               kind=spec.noise_kind)
         return modes + bg

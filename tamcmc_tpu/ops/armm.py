@@ -31,23 +31,50 @@ import jax
 import jax.numpy as jnp
 
 
-def _theta_p(nu, dnu, eps_p):
-    return jnp.pi * (nu / dnu - eps_p)
+def _theta_p(nu, dnu, eps_p, delta0l=0.0, alpha_p=0.0, nmax_x=0.0):
+    """p-mode phase with the O(2) asymptotic relation (bump_DP depth [U]):
+
+        theta_p = pi * (x - eps_p - delta0l/Dnu - alpha_p/2 (x - n_max)^2),
+        x = nu / Dnu
+
+    delta0l: small separation offsetting the l=1 p ridge from the l=0 comb
+    (d01 [U]); alpha_p: curvature of the radial comb around n_max = the
+    order at numax.  alpha_p = delta0l = 0 reduces to the first-order form.
+    """
+    x = nu / dnu
+    return jnp.pi * (x - eps_p - delta0l / dnu
+                     - 0.5 * alpha_p * (x - nmax_x) ** 2)
 
 
-def _theta_g(nu, dpi1, eps_g):
-    return jnp.pi * (1e6 / (dpi1 * nu) - eps_g)
+def _theta_g(nu, dpi1, eps_g, alpha_g=0.0, pi0_x=0.0):
+    """g-mode phase with optional period-spacing curvature [U]:
+
+        theta_g = pi * (y - eps_g - alpha_g/2 (y - y0)^2),
+        y = Pi(nu)/DPi1 = 1e6 / (DPi1 * nu)
+
+    y0 = reference period index (window centre).  alpha_g = 0 reduces to the
+    uniform-DPi1 relation (Mosser 2012); the curvature term mirrors the
+    p-side O(2) form — RE-GROUND the exact parameterisation against
+    bump_DP.cpp when the reference mount is readable.
+    """
+    y = 1e6 / (dpi1 * nu)
+    return jnp.pi * (y - eps_g - 0.5 * alpha_g * (y - pi0_x) ** 2)
 
 
-def _f(nu, dnu, eps_p, dpi1, eps_g, q):
-    return jnp.tan(_theta_p(nu, dnu, eps_p)) - q * jnp.tan(_theta_g(nu, dpi1, eps_g))
+def _f(nu, dnu, eps_p, dpi1, eps_g, q, delta0l=0.0, alpha_p=0.0,
+       nmax_x=0.0, alpha_g=0.0, pi0_x=0.0):
+    return (jnp.tan(_theta_p(nu, dnu, eps_p, delta0l, alpha_p, nmax_x))
+            - q * jnp.tan(_theta_g(nu, dpi1, eps_g, alpha_g, pi0_x)))
 
 
 def mixed_mode_frequencies(dnu, eps_p, dpi1, eps_g, q, numin, numax,
-                           n_p_poles: int, n_g_poles: int, n_bisect: int = 45):
+                           n_p_poles: int, n_g_poles: int, n_bisect: int = 45,
+                           delta0l=0.0, alpha_p=0.0, alpha_g=0.0):
     """Solve for all l=1 mixed-mode frequencies in [numin, numax].
 
-    dnu [uHz], dpi1 [s], q, eps_p, eps_g: traced scalars.
+    dnu [uHz], dpi1 [s], q, eps_p, eps_g: traced scalars.  The O(2) terms
+    (delta0l [uHz], alpha_p, alpha_g — see _theta_p/_theta_g) default to 0,
+    reproducing the first-order solver exactly.
     numin/numax: static floats.  n_p_poles / n_g_poles: static ints — upper
     bounds on pole counts in the window (size the padding generously; out-of-
     window poles are clamped and their intervals masked out).
@@ -55,14 +82,25 @@ def mixed_mode_frequencies(dnu, eps_p, dpi1, eps_g, q, numin, numax,
     Returns (freqs, zeta, valid): arrays of shape (n_p_poles + n_g_poles - 1,).
     Invalid (padded) slots have freq = numax and valid = 0.
     """
-    # p-mode tangent poles: nu = dnu * (k + 1/2 + eps_p)
-    k0p = jnp.floor(numin / dnu - 0.5 - eps_p)
+    nmax_x = 0.5 * (numin + numax) / dnu            # curvature pivot (order)
+    pi0_x = 1e6 / (dpi1 * (0.5 * (numin + numax)))  # curvature pivot (period)
+
+    # p-mode tangent poles: theta_p = pi (k + 1/2).  With curvature the pole
+    # equation is quadratic in x; 3 fixed-point sweeps from the linear pole
+    # converge to float32 precision for |alpha_p| << 1 (the physical regime).
+    k0p = jnp.floor(numin / dnu - 0.5 - eps_p - delta0l / dnu)
     kp = k0p + jnp.arange(n_p_poles, dtype=jnp.float32)
-    p_poles = dnu * (kp + 0.5 + eps_p)
-    # g-mode tangent poles: nu = 1e6 / (dpi1 * (k + 1/2 + eps_g)), decreasing k
+    xp = kp + 0.5 + eps_p + delta0l / dnu
+    for _ in range(3):
+        xp = kp + 0.5 + eps_p + delta0l / dnu + 0.5 * alpha_p * (xp - nmax_x) ** 2
+    p_poles = dnu * xp
+    # g-mode tangent poles: theta_g = pi (k + 1/2), same fixed-point in y.
     k0g = jnp.floor(1e6 / (dpi1 * numax) - 0.5 - eps_g)
     kg = k0g + jnp.arange(n_g_poles, dtype=jnp.float32)
-    g_poles = 1e6 / (dpi1 * (kg + 0.5 + eps_g))
+    yg = kg + 0.5 + eps_g
+    for _ in range(3):
+        yg = kg + 0.5 + eps_g + 0.5 * alpha_g * (yg - pi0_x) ** 2
+    g_poles = 1e6 / (dpi1 * yg)
 
     poles = jnp.concatenate([p_poles, g_poles])
     poles = jnp.clip(poles, numin, numax)
@@ -79,7 +117,8 @@ def mixed_mode_frequencies(dnu, eps_p, dpi1, eps_g, q, numin, numax,
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        fm = _f(mid, dnu, eps_p, dpi1, eps_g, q)
+        fm = _f(mid, dnu, eps_p, dpi1, eps_g, q,
+                delta0l, alpha_p, nmax_x, alpha_g, pi0_x)
         pos = fm > 0
         return (jnp.where(pos, lo, mid), jnp.where(pos, mid, hi))
 
@@ -89,13 +128,13 @@ def mixed_mode_frequencies(dnu, eps_p, dpi1, eps_g, q, numin, numax,
     # window-edge intervals are truncated by the clamp and need not bracket a
     # real root (bisection then converges to the boundary) — validate every
     # root against the well-conditioned phase form of the eigenvalue equation
-    tp_r = _theta_p(freqs, dnu, eps_p)
-    tg_r = _theta_g(freqs, dpi1, eps_g)
+    tp_r = _theta_p(freqs, dnu, eps_p, delta0l, alpha_p, nmax_x)
+    tg_r = _theta_g(freqs, dpi1, eps_g, alpha_g, pi0_x)
     phase_res = jnp.mod(tp_r - jnp.arctan(q * jnp.tan(tg_r)) + jnp.pi / 2,
                         jnp.pi) - jnp.pi / 2
     valid = valid & (jnp.abs(phase_res) < 0.05)
 
-    tg = _theta_g(freqs, dpi1, eps_g)
+    tg = tg_r
     denom = q**2 * jnp.cos(tg) ** 2 + jnp.sin(tg) ** 2
     # units: nu_Hz^2 * DPi1_s / Dnu_Hz = nu_uHz^2 * 1e-6 * DPi1 / Dnu_uHz
     zeta = 1.0 / (1.0 + (freqs**2 * 1e-6) * dpi1 / dnu

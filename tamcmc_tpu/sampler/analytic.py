@@ -62,6 +62,9 @@ class AnalyticProblem:
     def batched_logparts_and_grad(self, x):
         return jax.vmap(jax.vmap(self.logparts_and_grad))(x)
 
+    def batched_log_parts(self, x):
+        return jax.vmap(jax.vmap(self.log_parts))(x)
+
 
 def std_gaussian(ndim: int) -> AnalyticProblem:
     return AnalyticProblem(

@@ -62,7 +62,11 @@ def init_state(problem: Problem, hp: MALAHyper, n_temps: int, n_chains: int,
     k1, _ = jax.random.split(key)
     jit_noise = jitter * scales * jax.random.normal(k1, (n_temps, n_chains, Df))
     theta0 = jnp.broadcast_to(x0, (n_temps, n_chains, Df)) + jit_noise
-    (logL, logP), (gL, gP) = problem.batched_logparts_and_grad(theta0)
+    # ONE jitted call: eager dispatch would run the batched model eval
+    # primitive-by-primitive — pathological over a remote-TPU tunnel where
+    # every op is a compile+RPC round trip
+    (logL, logP), (gL, gP) = jax.jit(
+        problem.batched_logparts_and_grad)(theta0)
     TC = (n_temps, n_chains)
     cov0 = jnp.broadcast_to(jnp.diag(scales**2), TC + (Df, Df))
     chol0 = jnp.broadcast_to(jnp.diag(scales), TC + (Df, Df))
@@ -131,7 +135,14 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
         "tcij,tcj->tci", state.chol, xi)
 
     # --- evaluate proposal ---
-    (logLp, logPp), (gLp, gPp) = problem.batched_logparts_and_grad(prop)
+    if hp.use_drift:
+        (logLp, logPp), (gLp, gPp) = problem.batched_logparts_and_grad(prop)
+    else:
+        # RW mode needs no gradients: skip the model backward pass entirely
+        # (~3x cheaper step; the cached grad slots carry zeros)
+        logLp, logPp = problem.batched_log_parts(prop)
+        gLp = jnp.zeros_like(state.gradL)
+        gPp = jnp.zeros_like(state.gradP)
 
     # --- reverse-proposal correction (vanishes when drift is off) ---
     if hp.use_drift:
@@ -166,7 +177,7 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
     if adapt:
         k = step.astype(theta.dtype)
         gamma = hp.gain_c0 / (hp.gain_k0 + k) ** hp.gain_alpha
-        if hp.cov_estimator == "ensemble":
+        if hp.resolved_cov_estimator(C, Df) == "ensemble":
             # pooled cross-walker moments per temperature: with C walkers in
             # the typical set this estimates the posterior covariance at
             # O(1/C) variance PER STEP — no trajectory-shrinkage feedback

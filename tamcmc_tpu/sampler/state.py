@@ -62,14 +62,25 @@ class MALAHyper:
                                     # 0.234 because its drift is off [U])
     use_drift: bool = True          # False -> adaptive RW-Metropolis (the
                                     # reference's default operating mode [U])
-    cov_estimator: str = "ensemble"  # "ensemble": pooled cross-walker
-                                    #   covariance per temperature (needs
-                                    #   C > 1; statistically free with a
+    cov_estimator: str = "auto"     # "ensemble": pooled cross-walker
+                                    #   covariance per temperature
+                                    #   (statistically free with a real
                                     #   walker ensemble and immune to the
                                     #   single-trajectory shrinkage spiral)
                                     # "walker": each walker's own expanding-
                                     #   window moments (the reference's
-                                    #   per-chain scheme; use when C is tiny)
+                                    #   per-chain scheme)
+                                    # "auto": ensemble iff C is large enough
+                                    #   to estimate a Df-dim covariance
+                                    #   (2*C >= Df).  A C-walker ensemble
+                                    #   covariance has rank C-1: with C <<
+                                    #   Df proposals collapse into the
+                                    #   walker-spread subspace, whose scale
+                                    #   tracks the (growing) burn-in
+                                    #   dispersion — acceptance falls at ANY
+                                    #   sigma and the Robbins-Monro scale
+                                    #   pins at log_sigma_min (diagnosed on
+                                    #   BASELINE config 4 with C=4, Df=41)
     cov_floor: float = 1e-4         # proposal cov += floor*diag(scales0^2):
                                     # keeps a minimum exploration scale so a
                                     # collapsed/deficient estimate can never
@@ -103,3 +114,10 @@ class MALAHyper:
         if self.target_acceptance is not None:
             return self.target_acceptance
         return 0.574 if self.use_drift else TARGET_ACCEPTANCE
+
+    def resolved_cov_estimator(self, n_chains: int, ndim_free: int) -> str:
+        """Static resolution of the 'auto' covariance estimator (see the
+        cov_estimator field docs for the failure mode this prevents)."""
+        if self.cov_estimator != "auto":
+            return self.cov_estimator
+        return "ensemble" if 2 * n_chains >= ndim_free else "walker"

@@ -212,3 +212,76 @@ class TestLikelihoods:
         g = float(jax.grad(lambda m: likelihood_chi22p(S, m))(jnp.asarray([2.0])) [0])
         # d/dM [-(ln M + S/M)] = -1/M + S/M^2 = 0 at M=S
         assert g == pytest.approx(0.0, abs=1e-6)
+
+
+class TestGroupedStaticWindows:
+    """sum_lorentzians_grouped: the reference's c*Gamma truncation ALGORITHM
+    with static trace-time windows (ops/lorentzian.py)."""
+
+    def _comps(self):
+        rng = np.random.default_rng(3)
+        c = np.sort(rng.uniform(120.0, 880.0, 24)).astype(np.float32)
+        h = rng.uniform(1.0, 10.0, 24).astype(np.float32)
+        w = rng.uniform(0.8, 3.0, 24).astype(np.float32)
+        b = np.zeros(24, dtype=np.float32)
+        return h, c, w, b
+
+    def test_matches_dense_within_truncation_tail(self):
+        from tamcmc_tpu.ops.lorentzian import (
+            sum_lorentzians, sum_lorentzians_grouped,
+            make_static_window_groups)
+        h, c, w, b = self._comps()
+        nu = jnp.linspace(100.0, 900.0, 8192)
+        step = 800.0 / 8191
+        groups = make_static_window_groups(c, 40.0 * w + 10.0, 100.0, step,
+                                           8192, group_size=6)
+        # every component appears exactly once
+        allidx = sorted(i for g in groups for i in g[0])
+        assert allidx == list(range(24))
+        dense = sum_lorentzians(nu, jnp.asarray(h), jnp.asarray(c),
+                                jnp.asarray(w), jnp.asarray(b))
+        grp = sum_lorentzians_grouped(nu, jnp.asarray(h), jnp.asarray(c),
+                                      jnp.asarray(w), jnp.asarray(b), groups)
+        # truncation tail at x = 2*trunc: H/(1+4*40^2) ~ 1.6e-4 of peak;
+        # absolute criterion — relative error is meaningless in far-tail
+        # bins where the spectrum is ~0 by construction (truncation zeroes
+        # them, exactly like the reference)
+        err = np.abs(np.asarray(grp - dense)).max()
+        assert err < 2e-3 * float(np.asarray(dense).max()), err
+        # at every mode peak (where the science lives) agreement is tight
+        peaks = np.searchsorted(np.asarray(nu), c)
+        rel_pk = (np.abs(np.asarray(grp - dense))[peaks]
+                  / np.asarray(dense)[peaks])
+        assert rel_pk.max() < 5e-3, rel_pk.max()
+
+    def test_gradients_flow(self):
+        from tamcmc_tpu.ops.lorentzian import (
+            sum_lorentzians_grouped, make_static_window_groups)
+        h, c, w, b = self._comps()
+        nu = jnp.linspace(100.0, 900.0, 4096)
+        step = 800.0 / 4095
+        groups = make_static_window_groups(c, 40.0 * w + 10.0, 100.0, step,
+                                           4096)
+
+        def loss(hh, cc, ww):
+            return jnp.sum(sum_lorentzians_grouped(
+                nu, hh, cc, ww, jnp.asarray(b), groups) ** 2)
+
+        gh, gc, gw = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(h), jnp.asarray(c), jnp.asarray(w))
+        for g in (gh, gc, gw):
+            assert np.all(np.isfinite(np.asarray(g)))
+            assert np.any(np.asarray(g) != 0)
+
+    def test_off_grid_component_contributes_zero(self):
+        from tamcmc_tpu.ops.lorentzian import (
+            sum_lorentzians_grouped, make_static_window_groups)
+        nu = jnp.linspace(100.0, 900.0, 1024)
+        step = 800.0 / 1023
+        c = np.asarray([5000.0], dtype=np.float32)   # far off-grid
+        groups = make_static_window_groups(c, np.asarray([50.0]), 100.0,
+                                           step, 1024)
+        out = sum_lorentzians_grouped(nu, jnp.asarray([4.0]), jnp.asarray(c),
+                                      jnp.asarray([1.0]),
+                                      jnp.asarray([0.0]), groups)
+        assert float(jnp.abs(out).max()) == 0.0
