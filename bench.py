@@ -83,17 +83,36 @@ def main():
     steps_per_s = n_steps / dt
 
     # --- roofline accounting (SURVEY section 7 stage 7) ---
-    # Analytic FLOP model of the fused step, counting div/log as 1 flop
-    # (conservative: they cost several VPU ops each).  Lorentzian per
-    # (component, bin): sub, mul, mul, add, div, mul, add = 7; chi22p logL
-    # per bin: log + div + add (+mask) ~ 5; backward ~= 2x forward.
+    # Analytic op model of the fused step.  Lorentzian per (component, bin):
+    # 1 divide + ~6 cheap flops (factored kernel, ops/lorentzian.py); chi22p
+    # logL per bin: 1 log + 1 divide + ~3 flops; backward ~= 2x forward
+    # flops + ~1 divide per component-bin (custom VJP recomputes inv once).
+    # With static truncation windows the component-bin count comes from the
+    # model's group table, not K*N.
     spec_np_l = meta.get("spec_kwargs", {}).get("n_per_l", (6, 6, 6, 0))
     K = sum(n * (2 * l + 1) for l, n in enumerate(spec_np_l))
     N = int(np.asarray(problem.nu).shape[0])
     W = T * C
-    flops_fwd_walker = (7 * K + 10) * N
+    wgroups = getattr(problem.model_fn, "_window_groups", None)
+    comp_bins = (sum(len(idx) * (hi - lo) for idx, lo, hi in wgroups)
+                 if wgroups else K * N)
+    flops_fwd_walker = 6 * comp_bins + 5 * N
+    divs_fwd_walker = comp_bins + N
+    logs_fwd_walker = N
     flops_step = 3 * flops_fwd_walker * W
-    achieved_gflops = flops_step * steps_per_s / 1e9
+    divs_step = 2 * divs_fwd_walker * W
+    logs_step = logs_fwd_walker * W
+    achieved_gflops = (flops_step + divs_step + logs_step) \
+        * steps_per_s / 1e9
+    # Op-mix speed-of-light from carefully measured per-op rates on THIS
+    # chip (work-scaled, host-fetch-synced microbenchmarks, 2026-08-20:
+    # f32 FMA-mix ~6.4e12 flop/s, f32 divide ~0.44e12 /s, transcendental
+    # ~0.2e12 /s — see BASELINE.md "step anatomy"); the in-run FMA
+    # microbench below is retained as a cross-check but the tunnel makes it
+    # noisy on bad days.
+    sol_s_per_step = (flops_step / 6.4e12 + divs_step / 0.44e12
+                      + logs_step / 0.2e12)
+    sol_frac = sol_s_per_step / (1.0 / steps_per_s)
 
     # Empirical VPU f32 peak on THIS chip: a fused-multiply-add chain with
     # high arithmetic intensity (UNROLL chained FMAs per element per loop
@@ -263,6 +282,10 @@ def main():
             "timed_s": round(dt, 1),
             # roofline + step anatomy (SURVEY section 7 stage 7)
             "achieved_gflops_f32": round(achieved_gflops, 1),
+            "op_mix_speed_of_light_ms": round(sol_s_per_step * 1e3, 3),
+            "frac_of_op_mix_sol": round(sol_frac, 3),
+            "comp_bins_per_walker": int(comp_bins),
+            "window_reduction": round(K * N / comp_bins, 2),
             "vpu_fma_peak_gflops_measured": round(vpu_peak_gflops, 1),
             "roofline_frac_of_vpu_fma": round(roofline_frac, 3),
             "lorentzian_components": int(K),

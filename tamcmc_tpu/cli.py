@@ -96,6 +96,18 @@ def _build_problem(args):
         if not pathlib.Path(data_path).is_absolute():
             data_path = str(pathlib.Path(args.problem).parent / data_path)
         d = read_spectrum(data_path)
+        if cfg.get("auto_window") and \
+                cfg["model"].lower().startswith("model_ms_global"):
+            # rebuild with static c*Gamma truncation windows anchored at
+            # params0 (problemfile.py `auto_window` — the reference's
+            # truncation algorithm; grid must be uniform)
+            nu_np = np.asarray(d["nu"], dtype=np.float64)
+            step = float(np.median(np.diff(nu_np)))
+            hint = (tuple(float(v) for v in cfg["params0"]),
+                    float(nu_np[0]), step, int(nu_np.shape[0]),
+                    float(cfg.get("window_margin", 10.0)))
+            fn, layout = build_model(cfg["model"], window_hint=hint,
+                                     **cfg["spec_kwargs"])
         nu = jnp.asarray(d["nu"], jnp.float32)
         spec = jnp.asarray(d["power"], jnp.float32)
         mask = None

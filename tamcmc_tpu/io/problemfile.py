@@ -65,6 +65,14 @@ def read_problem_file(path: str):
         # default — the reference's priors_MS_Global behaviour [U]; set
         # `family_constraints = false` under [problem] to opt out.
         "family_constraints": bool(prob.get("family_constraints", True)),
+        # auto_window = true: static c*Gamma truncation windows anchored at
+        # params0 (ops/lorentzian.py grouped accumulation) — the reference's
+        # truncation algorithm, ~5-10x less Lorentzian arithmetic.  Off by
+        # default for file-based problems: if your priors allow frequencies
+        # to wander more than `window_margin` uHz (default 10) past their
+        # initial values, stay dense.
+        "auto_window": bool(prob.get("auto_window", False)),
+        "window_margin": float(prob.get("window_margin", 10.0)),
         "spec_kwargs": {k: (tuple(v) if isinstance(v, list) else v)
                         for k, v in doc.get("spec", {}).items()},
         "sampler": dict(doc.get("sampler", {})),

@@ -212,4 +212,5 @@ def build_ms_global(spec: MSGlobalSpec):
                               kind=spec.noise_kind)
         return modes + bg
 
+    model_fn._window_groups = groups   # introspection (bench FLOP model)
     return model_fn, layout

@@ -179,3 +179,41 @@ class TestModelEval:
                  "--out", str(out)])
         t = np.loadtxt(out)
         assert t.shape[1] == 3 and t.shape[0] == 8192
+
+
+class TestAutoWindow:
+    def test_auto_window_problem_runs_and_matches_dense(self, tmp_path):
+        """[problem] auto_window = true: static truncation windows from
+        params0 (reference c*Gamma algorithm) — model agrees with the dense
+        path to within the truncation tail, and the fit runs end to end."""
+        from tamcmc_tpu.cli import main
+        ex = tmp_path / "ex"
+        main(["make-example", "--demo", "ms_global", "--outdir", str(ex),
+              "--ngrid", "4000"])
+        toml = (ex / "problem.toml").read_text()
+        toml = toml.replace("[problem]", "[problem]\nauto_window = true", 1)
+        (ex / "problem.toml").write_text(toml)
+
+        import argparse
+        import jax
+        from tamcmc_tpu.cli import _build_problem
+        ns = lambda **kw: argparse.Namespace(
+            demo=None, problem=str(ex / "problem.toml"), seed=0,
+            temps=None, chains=None, burnin=None, learning=None,
+            acquire=None, thin=None, **kw)
+        p_win, _, _, _ = _build_problem(ns())
+        toml2 = toml.replace("auto_window = true", "auto_window = false")
+        (ex / "problem.toml").write_text(toml2)
+        p_dense, _, _, _ = _build_problem(ns())
+        m_w = np.asarray(jax.jit(p_win.model_fn)(p_win.params0, p_win.nu))
+        m_d = np.asarray(jax.jit(p_dense.model_fn)(p_dense.params0,
+                                                   p_dense.nu))
+        assert np.abs(m_w - m_d).max() < 2e-3 * m_d.max()
+
+        (ex / "problem.toml").write_text(toml)   # windowed again
+        out = tmp_path / "fit"
+        main(["run", "--problem", str(ex / "problem.toml"),
+              "--outdir", str(out), "--temps", "2", "--chains", "2",
+              "--burnin", "30", "--learning", "60", "--acquire", "60",
+              "--thin", "5", "--no-report"])
+        assert (out / "summary.json").exists()
