@@ -40,10 +40,11 @@ def main():
 
     log("building demo problem")
     problem, hp, plan, meta = make_demo("ms_global", seed=0)
-    # Walker count tuned on TPU v5e: chain-step throughput saturates at
-    # C=32 (VPU-bound model eval) and C>=64 exhausts HBM on this grid;
-    # ESS/s scales ~linearly with walkers up to the saturation point.
-    T, C = meta["n_temps"], 32
+    # Walker count re-tuned on TPU v5e after the static-window rewrite cut
+    # per-walker model work ~3x: step latency is flat up to C=64 (walker
+    # throughput 2x C=32) and only starts degrading by C=96; ESS/s scales
+    # ~linearly with walkers (independent chains).
+    T, C = meta["n_temps"], 64
     betas = make_beta_ladder(T, hp.lambda_temp)
     key = jax.random.PRNGKey(0)
     key, sub = jax.random.split(key)

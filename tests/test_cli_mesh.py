@@ -146,3 +146,34 @@ class TestMidPhaseResume:
         a, _ = read_bin_samples(str(out), "A")
         b, _ = read_bin_samples(str(ref), "A")
         np.testing.assert_array_equal(a, b)
+
+
+class TestMeshMidPhaseResume:
+    def test_mesh_crash_resume_matches_uninterrupted(self, tmp_path,
+                                                     monkeypatch):
+        """Sharded run + intra-phase checkpoints: kill mid-phase, resume,
+        and match the uninterrupted MESH run exactly — the gathered
+        checkpoint and re-sharding round-trip must be lossless."""
+        import jax
+        if len(jax.devices()) < 4:
+            pytest.skip("needs fake multi-device CPU backend")
+        small = _small_chunks(demos.make_demo)
+        monkeypatch.setattr(demos, "make_demo", small)
+        margs = ARGS + ["--mesh", "4x2", "--ckpt-every", "1"]
+
+        ref = tmp_path / "mesh_ref"
+        main(margs + ["--outdir", str(ref)])
+
+        out = tmp_path / "mesh_crash"
+        orig = OutputWriter.append_chunk
+        monkeypatch.setattr(OutputWriter, "append_chunk",
+                            _crashing_append(orig, "A", after=1))
+        with pytest.raises(RuntimeError, match="injected crash"):
+            main(margs + ["--outdir", str(out)])
+        monkeypatch.setattr(OutputWriter, "append_chunk", orig)
+        main(margs + ["--outdir", str(out), "--resume"])
+
+        for phase in ("B", "L", "A"):
+            a, _ = read_bin_samples(str(out), phase)
+            b, _ = read_bin_samples(str(ref), phase)
+            np.testing.assert_array_equal(a, b, err_msg=f"phase {phase}")
