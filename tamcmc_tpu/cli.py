@@ -195,6 +195,7 @@ def cmd_run(args):
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     betas = make_beta_ladder(n_temps, hp.lambda_temp)
+    np.save(outdir / "betas.npy", np.asarray(betas))   # for tamcmc evidence
     key = jax.random.PRNGKey(args.seed)
 
     def _place(s):
@@ -390,13 +391,20 @@ def cmd_batch(args):
 def _batch_stacked(args, stars, base):
     """Aligned-grid stacked ensemble: ONE vmapped sampler over all stars
     (SURVEY.md section 2 'Ensemble/data parallelism' — the reference runs
-    its presets table strictly serially; this is the rebuild's win)."""
+    its presets table strictly SERIALLY; this is the rebuild's win).
+
+    Streams per-star outputs chunk by chunk (bounded host memory) and
+    checkpoints the stacked carry: `--resume` continues a killed ensemble
+    bitwise, including mid-phase with --ckpt-every (same machinery as
+    `tamcmc run`)."""
     import argparse
     import jax
+    import jax.numpy as jnp
     from tamcmc_tpu.sampler import make_beta_ladder
     from tamcmc_tpu.sampler.ensemble import (
-        validate_stackable, init_ensemble_state, run_ensemble_phases)
+        validate_stackable, init_ensemble_state, run_ensemble_phase)
     from tamcmc_tpu.io.outputs import OutputWriter
+    from tamcmc_tpu.io.checkpoint import save_checkpoint, load_checkpoint
     from tamcmc_tpu.diagnostics.summary import posterior_summary, format_summary
 
     problems, outdirs = [], []
@@ -424,28 +432,90 @@ def _batch_stacked(args, stars, base):
     n_temps = int(stars[0].get("temps", meta0.get("n_temps", 6)))
     n_chains = int(stars[0].get("chains", meta0.get("n_chains", 4)))
     betas = make_beta_ladder(n_temps, hp.lambda_temp)
-    key = jax.random.PRNGKey(int(stars[0].get("seed", 0)))
-    key, sub = jax.random.split(key)
-    states = init_ensemble_state(problems, hp, n_temps, n_chains, sub)
+    seed = int(stars[0].get("seed", 0))
+    key = jax.random.PRNGKey(seed)
+
+    ckpt = base / "stacked_restore.npz"
+    done_phases, mid_phase, mid_emitted, mid_key = [], None, 0, None
+    if getattr(args, "resume", False) and ckpt.exists():
+        states, key, last_phase, cmeta = load_checkpoint(str(ckpt))
+        order = ["B", "L", "A"]
+        if int(cmeta.get("in_progress", 0)):
+            mid_phase, mid_key = last_phase, key
+            mid_emitted = int(cmeta.get("emitted", 0))
+            key = jax.random.wrap_key_data(jnp.asarray(cmeta["outer_key"]))
+            done_phases = order[:order.index(last_phase)] \
+                if last_phase in order else []
+            print(f"stacked: resumed mid-phase {last_phase} "
+                  f"({mid_emitted} records emitted)")
+        else:
+            done_phases = order[:order.index(last_phase) + 1] \
+                if last_phase in order else []
+            print(f"stacked: resumed after phase {last_phase}")
+    else:
+        key, sub = jax.random.split(key)
+        states = init_ensemble_state(problems, hp, n_temps, n_chains, sub)
+
+    for d in outdirs:
+        d.mkdir(parents=True, exist_ok=True)
+    writers = [OutputWriter(str(d), p.free_names, n_temps, n_chains)
+               for d, p in zip(outdirs, problems)]
+    ckpt_every = getattr(args, "ckpt_every", 0) or 0
+    results = {}
     t0 = time.time()
     print(f"stacked ensemble: {len(problems)} stars x {n_temps} temps x "
           f"{n_chains} walkers, {problems[0].ndim_free} free dims")
-    states, results = run_ensemble_phases(problems, hp, betas, states, key,
-                                          plan)
+    for name, n_steps, adapt in plan.phases():
+        if n_steps <= 0 or name in done_phases:
+            continue
+        already = 0
+        if name == mid_phase:
+            already, sub = mid_emitted, mid_key
+            for w in writers:
+                w.resume_phase(name, already * n_chains)
+        else:
+            key, sub = jax.random.split(key)
+
+        def _on_chunk(o, _n=name):
+            for s, w in enumerate(writers):
+                w.append_chunk(_n, {k: v[:, s] for k, v in o.items()})
+
+        _cn = [0]
+
+        def _on_state(s, k, emitted, _n=name):
+            if not ckpt_every:
+                return
+            _cn[0] += 1
+            if _cn[0] % ckpt_every == 0:
+                for w in writers:
+                    w.save_partial(_n)
+                save_checkpoint(str(ckpt), s, k, phase=_n, meta={
+                    "in_progress": 1, "emitted": emitted,
+                    "outer_key": np.asarray(jax.random.key_data(key))})
+
+        try:
+            states, outs = run_ensemble_phase(
+                problems, hp, betas, states, sub, n_steps, adapt=adapt,
+                thin=plan.thin, chunk=plan.chunk, on_chunk=_on_chunk,
+                on_state=_on_state, already_emitted=already)
+        except BaseException:
+            for w in writers:
+                w.abort()
+            raise
+        for w in writers:
+            w.finalize_phase(name)
+        if outs:
+            results[name] = outs
+        save_checkpoint(str(ckpt), states, key, phase=name)
+    for w in writers:
+        w.close()
     dt = time.time() - t0
     total = plan.burnin + plan.learning + plan.acquire
     print(f"ensemble done: {total} steps x {len(problems)} stars "
-          f"in {dt:.1f}s ({total / dt:.0f} it/s/star)")
-    for s, (problem, outdir) in enumerate(zip(problems, outdirs)):
-        outdir.mkdir(parents=True, exist_ok=True)
-        writer = OutputWriter(str(outdir), problem.free_names, n_temps,
-                              n_chains)
-        for phase, recs in results.items():
-            writer.append_chunk(phase, {k: v[:, s] for k, v in recs.items()})
-            writer.finalize_phase(phase)
-        writer.close()
-        th = results["A"]["theta0"][:, s] if "A" in results else None
-        if th is not None:
+          f"in {dt:.1f}s")
+    if "A" in results:
+        for s, (problem, outdir) in enumerate(zip(problems, outdirs)):
+            th = results["A"]["theta0"][:, s]
             rows = posterior_summary(th, names=problem.free_names)
             with open(outdir / "summary.json", "w") as f:
                 json.dump(rows, f, indent=1)
@@ -612,6 +682,9 @@ def main(argv=None):
                     help="advance ALL stars in one vmapped program "
                          "(requires aligned grids + shared model family; "
                          "S posteriors for one program's launch cost)")
+    pb.add_argument("--ckpt-every", type=int, dest="ckpt_every", default=0,
+                    help="stacked mode: intra-phase checkpoint cadence in "
+                         "chunks (same semantics as run --ckpt-every)")
     pb.set_defaults(fn=cmd_batch)
 
     pe = sub.add_parser("export", help="binary samples -> ASCII (bin2txt)")

@@ -117,20 +117,59 @@ def make_ensemble_phase_runner(problems, hp: MALAHyper, betas, adapt: bool,
     return jax.jit(run, donate_argnums=(0,))
 
 
+def run_ensemble_phase(problems, hp, betas, states, key, n_steps, adapt=True,
+                       thin=1, chunk=200, on_chunk=None, on_state=None,
+                       already_emitted: int = 0):
+    """One phase over the star ensemble, CHUNKED like sampler.driver.run_phase
+    (bounded host buffering, streaming writers, mid-phase checkpoints).
+
+    on_chunk(outs): records with (chunk, S, ...) shapes per chunk.
+    on_state(states, key, emitted): carry + continuation key at each chunk
+    boundary — checkpoint exactly this pair for bitwise resume."""
+    n_emit_total = max(n_steps // thin, 1)
+    chunk = min(chunk, n_emit_total)
+    if already_emitted % chunk != 0:
+        raise ValueError(f"already_emitted={already_emitted} not a multiple "
+                         f"of chunk={chunk}")
+    runner = make_ensemble_phase_runner(problems, hp, betas, adapt, thin,
+                                        chunk)
+    collected = []
+    remaining = n_emit_total - already_emitted
+    emitted = already_emitted
+    while remaining > 0:
+        key, sub = jax.random.split(key)
+        states, outs = runner(states, sub)
+        emitted += chunk
+        if on_chunk is not None:
+            on_chunk(outs)
+        if on_state is not None:
+            on_state(states, key, emitted)
+        collected.append(jax.device_get(outs))
+        remaining -= chunk
+    if not collected:
+        return states, {}
+    stacked = {k: np.concatenate([c[k] for c in collected], axis=0)
+               for k in collected[0]}
+    return states, stacked
+
+
 def run_ensemble_phases(problems, hp, betas, states, key, plan,
-                        on_phase_end=None):
+                        on_phase_end=None, on_chunk=None, on_state=None):
     """B -> L -> A over the whole star ensemble.  Returns
     (states, {phase: stacked host records with (E, S, ...) shapes})."""
     results = {}
     for name, n_steps, adapt in plan.phases():
         if n_steps <= 0:
             continue
-        n_emit = max(n_steps // plan.thin, 1)
-        runner = make_ensemble_phase_runner(problems, hp, betas, adapt,
-                                            plan.thin, n_emit)
         key, sub = jax.random.split(key)
-        states, outs = runner(states, sub)
-        results[name] = jax.device_get(outs)
+        states, outs = run_ensemble_phase(
+            problems, hp, betas, states, sub, n_steps, adapt=adapt,
+            thin=plan.thin, chunk=plan.chunk,
+            on_chunk=(None if on_chunk is None
+                      else (lambda o, _n=name: on_chunk(_n, o))),
+            on_state=(None if on_state is None
+                      else (lambda s, k, e, _n=name: on_state(_n, s, k, e))))
+        results[name] = outs
         if on_phase_end is not None:
             on_phase_end(name, states, results[name])
     return states, results

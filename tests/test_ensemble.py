@@ -157,3 +157,62 @@ class TestStackedCLI:
             '[[star]]\ndemo = "harvey_background"\noutdir = "s1"\n')
         with pytest.raises(SystemExit, match="not stackable"):
             main(["batch", "--presets", str(presets), "--stacked"])
+
+
+class TestStackedResume:
+    PRESETS = ('[[star]]\ndemo = "single_lorentzian"\nseed = 0\n'
+               'outdir = "s0"\ntemps = 2\nchains = 4\n'
+               'burnin = 100\nlearning = 200\nacquire = 200\nthin = 5\n\n'
+               '[[star]]\ndemo = "single_lorentzian"\nseed = 7\n'
+               'outdir = "s1"\n')
+
+    def _patch_chunks(self, monkeypatch):
+        import dataclasses
+        from tamcmc_tpu import demos
+        orig = demos.make_demo
+
+        def small(name, seed=0, ngrid=None):
+            p, hp, plan, meta = orig(name, seed=seed, ngrid=ngrid)
+            return p, hp, dataclasses.replace(plan, chunk=10), meta
+        monkeypatch.setattr(demos, "make_demo", small)
+
+    def test_stacked_crash_resume_bitwise(self, tmp_path, monkeypatch):
+        """Kill a stacked ensemble mid-Learning; --resume matches the
+        uninterrupted run exactly for EVERY star."""
+        from tamcmc_tpu.cli import main
+        from tamcmc_tpu.io.outputs import OutputWriter, read_bin_samples
+        self._patch_chunks(monkeypatch)
+
+        ref = tmp_path / "ref"
+        ref.mkdir()
+        (ref / "presets.toml").write_text(self.PRESETS)
+        main(["batch", "--presets", str(ref / "presets.toml"),
+              "--stacked", "--ckpt-every", "1"])
+
+        out = tmp_path / "crashy"
+        out.mkdir()
+        (out / "presets.toml").write_text(self.PRESETS)
+        orig = OutputWriter.append_chunk
+        n = {"v": 0}
+
+        def crashing(self_w, phase, outs):
+            orig(self_w, phase, outs)
+            if phase == "L":
+                n["v"] += 1
+                if n["v"] > 4:       # 2 writers x 2 chunks, die on the 3rd
+                    raise RuntimeError("injected crash")
+        monkeypatch.setattr(OutputWriter, "append_chunk", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            main(["batch", "--presets", str(out / "presets.toml"),
+                  "--stacked", "--ckpt-every", "1"])
+        monkeypatch.setattr(OutputWriter, "append_chunk", orig)
+        assert (out / "stacked_restore.npz").exists()
+        main(["batch", "--presets", str(out / "presets.toml"),
+              "--stacked", "--ckpt-every", "1", "--resume"])
+
+        for star in ("s0", "s1"):
+            for phase in ("B", "L", "A"):
+                a, _ = read_bin_samples(str(out / star), phase)
+                b, _ = read_bin_samples(str(ref / star), phase)
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"{star} phase {phase}")
