@@ -566,6 +566,37 @@ def cmd_stats(args):
             json.dump(rows, f, indent=1)
 
 
+def cmd_evidence(args):
+    """Thermodynamic-integration evidence from the tempered logL chains
+    (diagnostics/evidence.py) — the temperature ladder the fit already ran
+    makes ln Z nearly free."""
+    from tamcmc_tpu.diagnostics.evidence import thermodynamic_evidence
+    outdir = pathlib.Path(args.outdir)
+    z = np.load(outdir / f"{args.phase}_chains.npz")
+    if "logL" not in z.files:
+        raise SystemExit(f"{args.phase}_chains.npz has no logL block")
+    bpath = outdir / "betas.npy"
+    if not bpath.exists():
+        raise SystemExit(f"{bpath} missing (written by `tamcmc run`); "
+                         "re-run the fit or supply an older outdir's ladder")
+    res = thermodynamic_evidence(z["logL"], np.load(bpath),
+                                 burn_frac=args.burn_frac)
+    print(f"ln Z                = {res['logZ']:.4f}  "
+          f"(+- {res['mc_err']:.4f} MC)")
+    print(f"ln Z (sampled part) = {res['logZ_partial']:.4f}  "
+          f"over beta in [{res['beta_min']:.5f}, 1]")
+    print(f"prior-end slack     = {res['tail_slack']:.4f}  "
+          f"(grow the ladder if this is not << the precision you need)")
+    print("rung table (beta, E[lnL]):")
+    for b, m in zip(res["betas_sorted"], res["mean_logL"]):
+        print(f"  {b:9.5f}  {m:14.4f}")
+    if args.json:
+        out = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+               for k, v in res.items()}
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
 def cmd_make_example(args):
     """Export a built-in demo to the file-based workflow: spectrum data +
     problem.toml (+ injected truth) — the reference ships example setups
@@ -707,6 +738,15 @@ def main(argv=None):
     ps.add_argument("--max-rows", type=int, default=60)
     ps.add_argument("--json")
     ps.set_defaults(fn=cmd_stats)
+
+    pv = sub.add_parser("evidence",
+                        help="thermodynamic-integration ln Z from the "
+                             "tempered logL chains (free with the ladder)")
+    pv.add_argument("--outdir", required=True)
+    pv.add_argument("--phase", default="A")
+    pv.add_argument("--burn-frac", type=float, dest="burn_frac", default=0.0)
+    pv.add_argument("--json")
+    pv.set_defaults(fn=cmd_evidence)
 
     px = sub.add_parser("make-example",
                         help="export a built-in demo as problem.toml + "
