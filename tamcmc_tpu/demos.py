@@ -225,6 +225,62 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
                                    "model": "model_MS_Global_a1etaa3_HarveyLike",
                                    "spec_kwargs": {"n_per_l": n_per_l}}
 
+    if name == "ajfit":
+        # a-coefficient table fit (io_ajfit [U]): 3 l=1 + 3 l=2 multiplets
+        # around numax, truth aj + a gate-filter activity band; data =
+        # nu_nlm + Gaussian noise, chi_square likelihood over the table.
+        from tamcmc_tpu.models.ajfit import AjFitSpec
+        spec_obj = AjFitSpec(l_per_multiplet=(1, 1, 1, 2, 2, 2))
+        fn, layout = build_model("model_ajfit", spec_obj)
+        rng = np.random.default_rng(seed)
+        dnu = 100.0
+        nu_nl = 2200.0 + dnu * np.arange(6) + rng.normal(0, 0.3, 6)
+        nu_nl[3:] -= 0.12 * dnu + 250.0          # l=2 ridge offset
+        nu_nl.sort()
+        truth = np.zeros(layout.ndim)
+        truth[layout.offset("nu_nl"):layout.offset("nu_nl") + 6] = nu_nl
+        ao = layout.offset("aj")
+        truth[ao:ao + 6] = [0.40, 0.030, 0.015, 0.004, 0.002, 0.001]
+        aco = layout.offset("activity")
+        truth[aco:aco + 3] = [5e-4, np.deg2rad(20.0), np.deg2rad(15.0)]
+        n_pts = spec_obj.n_points
+        sigma = np.full(n_pts, 0.03)
+        tj = jnp.asarray(truth, jnp.float32)
+        nu_idx = jnp.arange(n_pts, dtype=jnp.float32)
+        model = fn(tj, nu_idx)
+        spec = model + jnp.asarray(sigma) * jax.random.normal(key, (n_pts,))
+        rows = []
+        for i in range(6):
+            rows.append((f"nu_{i}", "gaussian", float(nu_nl[i]), 0.5))
+        rows += [("a1", "uniform", 0.0, 2.0),
+                 ("a2", "gaussian", 0.0, 0.2),
+                 ("a3", "gaussian", 0.0, 0.2),
+                 ("a4", "gaussian", 0.0, 0.05),
+                 ("a5", "gaussian", 0.0, 0.05),
+                 ("a6", "gaussian", 0.0, 0.05),
+                 ("epsilon", "uniform", 0.0, 5e-3),
+                 ("theta0", "uniform", 0.0, np.pi / 2),
+                 ("delta", "uniform", np.deg2rad(2.0), np.deg2rad(45.0))]
+        priors = PriorTable.from_rows(rows)
+        assert priors.ndim == layout.ndim, (priors.ndim, layout.ndim)
+        p0 = truth.copy()
+        p0[6:12] = [0.3, 0.0, 0.0, 0.0, 0.0, 0.0]
+        p0[12:15] = [1e-3, np.deg2rad(30.0), np.deg2rad(10.0)]
+        from tamcmc_tpu.stats.assemblers import build_family_constraints
+        extra = build_family_constraints("model_ajfit", layout)
+        problem = Problem(model_fn=fn, layout=layout, priors=priors,
+                          nu=nu_idx, spec=spec,
+                          params0=jnp.asarray(p0, jnp.float32),
+                          likelihood="chi_square",
+                          sigma_spec=jnp.asarray(sigma, jnp.float32),
+                          extra_logp=extra)
+        hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
+        plan = PhasePlan(burnin=1500, learning=5000, acquire=8000, thin=4)
+        return problem, hp, plan, {"truth": truth, "n_temps": 4,
+                                   "n_chains": 8, "model": "model_ajfit",
+                                   "spec_kwargs": {
+                                       "l_per_multiplet": (1, 1, 1, 2, 2, 2)}}
+
     if name == "subgiant_mixed":
         # BASELINE config 5: dense l=1 mixed modes from the ARMM solver
         from tamcmc_tpu.models.asymptotic import RGBAsymptSpec
@@ -301,4 +357,5 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
                                        "n_g_poles": n_g}}
 
     raise KeyError(f"unknown demo '{name}'; have single_lorentzian, "
-                   "harvey_background, ms_global, kepler_full, subgiant_mixed")
+                   "harvey_background, ms_global, kepler_full, "
+                   "subgiant_mixed, ajfit")

@@ -15,6 +15,7 @@ from tamcmc_tpu.models.local import (
     MSLocalSpec, build_ms_local, MSLocalHnlmSpec, build_ms_local_hnlm,
 )
 from tamcmc_tpu.models.asymptotic import RGBAsymptSpec, build_rgb_asympt
+from tamcmc_tpu.models.ajfit import AjFitSpec, build_ajfit
 from tamcmc_tpu.models.test_models import (
     TestGaussianSpec, build_test_gaussian,
     HarveyGaussianSpec, build_harvey_gaussian,
@@ -89,6 +90,10 @@ _register("model_RGB_asympt_a1etaa3_AppWidth_HarveyLike", RGBAsymptSpec,
               dataclasses.replace(spec, width_kind="app2016")),
           "RGB/subgiant mixed-mode fit with the Appourchaux+2016 width "
           "relation on the p-mode ridge")
+_register("model_ajfit", AjFitSpec, build_ajfit,
+          "a-coefficient table fit: aj (j=1..6) + optional Alm activity "
+          "asphericity to measured nu_nlm frequencies (io_ajfit [U]); "
+          "Gaussian chi_square likelihood over the mode table, no spectrum")
 _register("model_MS_local_basic", MSLocalSpec, build_ms_local,
           "windowed local fit, per-mode free parameters")
 _register("model_MS_local_Hnlm", MSLocalHnlmSpec, build_ms_local_hnlm,

@@ -135,6 +135,19 @@ def _rgb_constraints(layout: BlockLayout):
     return cons
 
 
+def _ajfit_constraints(layout: BlockLayout):
+    """ajfit [U]: ordered nuisance centroids (the fitted multiplets are a
+    frequency-sorted table), physical activity block: epsilon >= 0,
+    theta0 in [0, pi/2] (latitude), delta > 0."""
+    cons = [ordering(layout, "nu_nl")]
+    if "activity" in layout.names:
+        cons.append(bounded(layout, "activity", lo=0.0, index=0))
+        cons.append(bounded(layout, "activity", lo=0.0,
+                            hi=float(jnp.pi / 2), index=1))
+        cons.append(bounded(layout, "activity", lo=1e-3, index=2))
+    return cons
+
+
 def build_family_constraints(model_name: str,
                              layout: BlockLayout) -> Optional[Callable]:
     """The family assembler: model name -> composed extra_logp (or None).
@@ -148,4 +161,6 @@ def build_family_constraints(model_name: str,
         return compose(*_local_constraints(layout))
     if name.startswith("model_rgb_asympt"):
         return compose(*_rgb_constraints(layout))
+    if name.startswith("model_ajfit"):
+        return compose(*_ajfit_constraints(layout))
     return None  # test/background families: per-param priors suffice
