@@ -69,3 +69,53 @@ def effective_sample_size(chain: np.ndarray) -> float:
         chain = chain[:, None]
     n, w = chain.shape
     return n * w / autocorr_time(chain)
+
+
+def _split_rhat_raw(chain: np.ndarray) -> float:
+    """Plain split-R-hat (Gelman et al.) on (N, W) draws: each walker is
+    split in half -> 2W sub-chains of length N//2; R = sqrt(var_plus/W)."""
+    n, w = chain.shape
+    half = n // 2
+    if half < 2:
+        return float("nan")
+    sub = np.concatenate([chain[:half], chain[n - half:]], axis=1)  # (half, 2W)
+    means = sub.mean(axis=0)
+    Bvar = half * np.var(means, ddof=1)
+    Wvar = float(np.mean(np.var(sub, axis=0, ddof=1)))
+    if Wvar <= 0:
+        # all sub-chains frozen: identical points -> converged-degenerate
+        # (R=1) if the means agree, diverged (inf) if they don't
+        return 1.0 if Bvar <= 0 else float("inf")
+    var_plus = (half - 1) / half * Wvar + Bvar / half
+    return float(np.sqrt(var_plus / Wvar))
+
+
+def split_rhat(chain: np.ndarray) -> float:
+    """Rank-normalized split-R-hat (Vehtari et al. 2021).
+
+    chain: (N,) or (N, W) posterior draws of ONE parameter across W walkers.
+    The reference has no automated convergence statistic (plots are eyeballed
+    — SURVEY.md section 4); this is the companion-tools-grade check
+    (TAMCMC-tools [U]) run on thinned host-side chains: R-hat <= 1.01 is the
+    standard convergence bar.  Rank-normalizing first (inverse-normal of the
+    pooled ranks) makes the statistic robust to heavy tails; we report the
+    max of the rank-normalized R on the draws and on the folded draws
+    |x - median| (the latter catches scale disagreement that the
+    location-only statistic misses)."""
+    from scipy.special import ndtri
+
+    if chain.ndim == 1:
+        chain = chain[:, None]
+    n, w = chain.shape
+    if n < 4:
+        return float("nan")
+
+    def ranknorm(x):
+        flat = x.reshape(-1)
+        r = np.argsort(np.argsort(flat)) + 1.0          # ranks 1..S
+        z = ndtri((r - 3.0 / 8.0) / (flat.size + 0.25))
+        return z.reshape(x.shape)
+
+    bulk = _split_rhat_raw(ranknorm(chain))
+    folded = _split_rhat_raw(ranknorm(np.abs(chain - np.median(chain))))
+    return max(bulk, folded)

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from tamcmc_tpu.diagnostics.ess import effective_sample_size, autocorr_time
+from tamcmc_tpu.diagnostics.ess import (effective_sample_size, autocorr_time,
+                                        split_rhat)
 
 
 def posterior_summary(samples: np.ndarray, names=None,
@@ -38,15 +39,20 @@ def posterior_summary(samples: np.ndarray, names=None,
             "median": float(qs[len(qs) // 2]),
             "ess": float(effective_sample_size(per_walker[:, :, i])),
             "tau": float(autocorr_time(per_walker[:, :, i])),
+            "rhat": float(split_rhat(per_walker[:, :, i])),
         })
     return out
 
 
 def format_summary(rows, max_rows=None) -> str:
     lines = [f"{'param':<18}{'median':>12}{'mean':>12}{'std':>11}"
-             f"{'q16':>12}{'q84':>12}{'ESS':>9}"]
+             f"{'q16':>12}{'q84':>12}{'ESS':>9}{'Rhat':>8}"]
     for r in rows[:max_rows]:
+        rhat = r.get("rhat")
+        rtxt = f"{rhat:>8.3f}" if rhat is not None and np.isfinite(rhat) \
+            else f"{'-':>8}"
         lines.append(f"{r['name']:<18}{r['median']:>12.5g}{r['mean']:>12.5g}"
                      f"{r['std']:>11.4g}{r['quantiles']['q16.0']:>12.5g}"
-                     f"{r['quantiles']['q84.0']:>12.5g}{r['ess']:>9.0f}")
+                     f"{r['quantiles']['q84.0']:>12.5g}{r['ess']:>9.0f}"
+                     + rtxt)
     return "\n".join(lines)
