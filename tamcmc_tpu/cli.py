@@ -646,6 +646,24 @@ def cmd_make_example(args):
           f"--outdir {outdir / 'fit'})")
 
 
+def cmd_validate(args):
+    """Lint a problem file before a fit — the errors_default.cfg analog
+    (io/validate.py): every setup problem reported at once, host-side only."""
+    from tamcmc_tpu.io.validate import validate_problem
+    any_err = False
+    for path in args.files:
+        errors, warns = validate_problem(path)
+        status = "FAIL" if errors else ("WARN" if warns else "OK")
+        print(f"{path}: {status}")
+        for e in errors:
+            print(f"  error: {e}")
+        for w in warns:
+            print(f"  warning: {w}")
+        any_err = any_err or bool(errors)
+    if any_err:
+        raise SystemExit(1)
+
+
 def cmd_list_models(args):
     from tamcmc_tpu.models import list_models
     for m in list_models():
@@ -762,6 +780,12 @@ def main(argv=None):
                     help="also export problem.model in the provisional "
                          "reference setup format (io/reference.py)")
     px.set_defaults(fn=cmd_make_example)
+
+    pc = sub.add_parser("validate",
+                        help="lint problem files (priors, data, start point, "
+                             "sampler/phase sections) before running")
+    pc.add_argument("files", nargs="+", help="problem .toml / .model files")
+    pc.set_defaults(fn=cmd_validate)
 
     pl = sub.add_parser("list-models", help="print model registry")
     pl.set_defaults(fn=cmd_list_models)
