@@ -60,7 +60,9 @@ def activity_filter(theta, theta0, delta, kind: str = "gate",
     theta: colatitude grid; theta0: active LATITUDE (0 = equator);
     delta: full band width.  'gate' uses a sigmoid-smoothed box (width
     `smooth` rad) so theta0/delta stay differentiable; 'triangle' is a
-    piecewise-linear tent (differentiable a.e.).
+    piecewise-linear tent (differentiable a.e.); 'gauss' is a Gaussian band
+    whose FWHM is delta (the reference Alm code grew a gauss filter type in
+    later versions [U] — fully smooth, the friendliest to MALA drift).
     """
     lat = jnp.pi / 2 - theta          # latitude of the quadrature node
     d = jnp.maximum(delta, 1e-3)
@@ -72,6 +74,9 @@ def activity_filter(theta, theta0, delta, kind: str = "gate",
                     * jax.nn.sigmoid((hi - lat) / smooth))
         if kind == "triangle":
             return jnp.maximum(1.0 - jnp.abs(lat - c) / (d / 2.0), 0.0)
+        if kind == "gauss":
+            sig = d / 2.3548200450309493        # FWHM -> sigma
+            return jnp.exp(-0.5 * ((lat - c) / sig) ** 2)
         raise KeyError(f"unknown activity filter '{kind}'")
 
     # active bands in both hemispheres, capped at 1 where they overlap

@@ -78,6 +78,24 @@ class TestFilters:
         # both vanish far from the bands (e.g. at the poles)
         assert g[0] < 1e-3 and t[0] < 1e-3
 
+    def test_gauss_band(self):
+        th = jnp.asarray(_THETA, dtype=jnp.float32)
+        f = np.asarray(activity_filter(th, 0.3, 0.2, kind="gauss"))
+        lat = np.pi / 2 - np.asarray(_THETA)
+        # peaks at the band centers in both hemispheres, decays at poles
+        assert f[np.argmin(np.abs(lat - 0.3))] > 0.9
+        assert f[np.argmin(np.abs(lat + 0.3))] > 0.9
+        assert f[0] < 1e-3
+        # FWHM convention: half max at lat = theta0 +- delta/2
+        i_half = np.argmin(np.abs(lat - 0.4))
+        assert 0.3 < f[i_half] < 0.7
+
+    def test_gauss_alm_differentiable_and_bounded(self):
+        a = float(alm(2, 1, 0.35, 0.25, kind="gauss"))
+        assert 0.0 <= a <= 1.0
+        g = jax.grad(lambda t: alm(2, 1, t, 0.25, kind="gauss"))(0.35)
+        assert np.isfinite(float(g)) and abs(float(g)) > 0
+
 
 class TestAjAlmModel:
     def test_build_and_shift_direction(self):
