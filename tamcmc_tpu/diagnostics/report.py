@@ -104,6 +104,43 @@ def plot_swap_rates(outpath, swap_att, swap_acc):
     fig.tight_layout(); fig.savefig(outpath, dpi=110); plt.close(fig)
 
 
+def plot_joint(outpath, x, y, xname, yname):
+    """2-D joint posterior with marginal histograms — used for the classic
+    a1-inclination degeneracy ridge (the seismic splitting nu*sin(i) is what
+    the data constrain; the reference community reads this plane first when
+    judging a peak-bagging fit [U])."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(6.4, 6.4))
+    gs = fig.add_gridspec(2, 2, width_ratios=(4, 1), height_ratios=(1, 4),
+                          wspace=0.04, hspace=0.04)
+    axj = fig.add_subplot(gs[1, 0])
+    axx = fig.add_subplot(gs[0, 0], sharex=axj)
+    axy = fig.add_subplot(gs[1, 1], sharey=axj)
+    h = axj.hist2d(x, y, bins=60, cmap="Blues")
+    fig.colorbar(h[3], ax=axy, fraction=0.3, pad=0.2)
+    axj.set_xlabel(xname); axj.set_ylabel(yname)
+    axx.hist(x, bins=60, color="C0", alpha=0.8)
+    axy.hist(y, bins=60, color="C0", alpha=0.8, orientation="horizontal")
+    axx.tick_params(labelbottom=False); axy.tick_params(labelleft=False)
+    fig.savefig(outpath, dpi=110, bbox_inches="tight"); plt.close(fig)
+
+
+def _find_rot_inc(names):
+    """Indices of the splitting head (a1) and the inclination in the free
+    names, or None."""
+    i_a1 = i_inc = None
+    for i, n in enumerate(names):
+        ln = n.lower()
+        if i_a1 is None and (ln == "a1" or ln.startswith("a1_")
+                             or ln == "rot" or ln == "rot_0"
+                             or ln == "a1_env"):
+            i_a1 = i
+        if i_inc is None and (ln == "inc" or ln.startswith("inclination")
+                              or ln == "i"):
+            i_inc = i
+    return (i_a1, i_inc) if (i_a1 is not None and i_inc is not None) else None
+
+
 def write_report(outdir, results: dict, problem=None, names=None,
                  model_at_median=None):
     """Emit the full artifact set from run_phases results."""
@@ -122,6 +159,13 @@ def write_report(outdir, results: dict, problem=None, names=None,
     if "swap_att" in outs and outs["swap_att"].shape[1] > 1:
         plot_swap_rates(outdir / "swap_rates.png", outs["swap_att"],
                         outs["swap_acc"]); made.append("swap_rates.png")
+    ri = _find_rot_inc(names)
+    if ri is not None:
+        i_a1, i_inc = ri
+        plot_joint(outdir / "rotation_inclination.png",
+                   flat[:, i_a1], np.rad2deg(flat[:, i_inc]),
+                   f"{names[i_a1]} [uHz]", f"{names[i_inc]} [deg]")
+        made.append("rotation_inclination.png")
     if problem is not None and model_at_median is not None:
         plot_spectrum_fit(outdir / "spectrum_fit.png",
                           np.asarray(problem.nu), np.asarray(problem.spec),

@@ -38,3 +38,13 @@ def test_write_report_single_temp_skips_swaps(tmp_path):
     made = write_report(tmp_path, {"A": _fake_outs(T=1)},
                         names=[f"p{i}" for i in range(5)])
     assert "swap_rates.png" not in made
+
+
+def test_rotation_inclination_panel(tmp_path):
+    from tamcmc_tpu.diagnostics.report import write_report, _find_rot_inc
+    names = ["H_0", "a1", "inc", "W_0", "N0"]
+    assert _find_rot_inc(names) == (1, 2)
+    assert _find_rot_inc(["H_0", "a1", "W_0"]) is None
+    made = write_report(tmp_path, {"A": _fake_outs()}, names=names)
+    assert "rotation_inclination.png" in made
+    assert (tmp_path / "rotation_inclination.png").stat().st_size > 1000
