@@ -646,6 +646,32 @@ def cmd_make_example(args):
           f"--outdir {outdir / 'fit'})")
 
 
+def cmd_compare(args):
+    """Posterior-moment parity harness (SURVEY stage 8 / BASELINE metric):
+    compare two sample sets — two run outdirs, or an outdir vs an ASCII
+    table (ours via `tamcmc export`, the reference's via bin2txt [U]) —
+    with ESS-aware z-scores; exit 1 on inconsistency."""
+    from tamcmc_tpu.diagnostics.compare import (
+        compare_posteriors, format_comparison, load_ascii_samples)
+    from tamcmc_tpu.io.outputs import read_bin_samples
+
+    def load(src):
+        if pathlib.Path(src).is_dir():
+            return read_bin_samples(src, args.phase)
+        return load_ascii_samples(src)
+
+    sa, na = load(args.a)
+    sb, nb = load(args.b)
+    res = compare_posteriors(sa, na, sb, nb, z_threshold=args.z,
+                             std_ratio_threshold=args.std_ratio)
+    print(format_comparison(res))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(res, f, indent=1)
+    if not res["consistent"]:
+        raise SystemExit(1)
+
+
 def cmd_validate(args):
     """Lint a problem file before a fit — the errors_default.cfg analog
     (io/validate.py): every setup problem reported at once, host-side only."""
@@ -780,6 +806,19 @@ def main(argv=None):
                     help="also export problem.model in the provisional "
                          "reference setup format (io/reference.py)")
     px.set_defaults(fn=cmd_make_example)
+
+    pq = sub.add_parser("compare",
+                        help="posterior-moment parity check between two "
+                             "sample sets (run outdirs or ASCII tables)")
+    pq.add_argument("a", help="run outdir or ASCII sample table")
+    pq.add_argument("b", help="run outdir or ASCII sample table")
+    pq.add_argument("--phase", default="A")
+    pq.add_argument("--z", type=float, default=3.0,
+                    help="max |z| for per-param mean agreement")
+    pq.add_argument("--std-ratio", type=float, default=1.5, dest="std_ratio",
+                    help="allowed posterior-std ratio band [1/r, r]")
+    pq.add_argument("--json")
+    pq.set_defaults(fn=cmd_compare)
 
     pc = sub.add_parser("validate",
                         help="lint problem files (priors, data, start point, "
