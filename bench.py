@@ -40,10 +40,13 @@ def main():
 
     log("building demo problem")
     problem, hp, plan, meta = make_demo("ms_global", seed=0)
-    # Walker count re-tuned on TPU v5e after the static-window rewrite cut
-    # per-walker model work ~3x: step latency is flat up to C=64 (walker
-    # throughput 2x C=32) and only starts degrading by C=96; ESS/s scales
-    # ~linearly with walkers (independent chains).
+    # Walker count: C=64 measured best on TPU v5e.  A full-bench A/B on
+    # 2026-08-20 gave 665 ESS/s at C=64 (5.5 ms/step) vs 595 ESS/s at
+    # C=128 (11.8 ms/step): ESS doubles with walkers but so does step
+    # latency — the chip is already saturated at C=64 for config-3 shapes.
+    # (A standalone sweep taken during a degraded-tunnel window suggested
+    # near-flat latency to C=128; the healthy-chip full-bench A/B is the
+    # authoritative measurement.)
     T, C = meta["n_temps"], 64
     betas = make_beta_ladder(T, hp.lambda_temp)
     key = jax.random.PRNGKey(0)
@@ -132,12 +135,18 @@ def main():
         return jax.lax.fori_loop(0, iters, body, y)
 
     fma_chain(xb).block_until_ready()
-    t = time.time()
-    fma_chain(xb).block_until_ready()
-    fma_chain(xb).block_until_ready()
-    dt_fma = (time.time() - t) / 2
+    # best-of-6: the remote-TPU tunnel occasionally stalls a dispatch for
+    # tens of ms, which at this kernel size reads as a 10-20x-too-low
+    # "peak"; the MIN time (not the mean) is the only robust estimator here
+    dts = []
+    for _ in range(6):
+        t = time.time()
+        fma_chain(xb).block_until_ready()
+        dts.append(time.time() - t)
+    dt_fma = min(dts)
     vpu_peak_gflops = 2 * size * iters * unroll / dt_fma / 1e9
     roofline_frac = achieved_gflops / max(vpu_peak_gflops, 1e-9)
+    fma_bench_suspect = vpu_peak_gflops < achieved_gflops
 
     # --- where the step time goes: fwd vs fwd+bwd vs full step ---
     # 4 extra tunnel compiles (~30-60 s each) — opt-in so the driver's
@@ -289,6 +298,7 @@ def main():
             "window_reduction": round(K * N / comp_bins, 2),
             "vpu_fma_peak_gflops_measured": round(vpu_peak_gflops, 1),
             "roofline_frac_of_vpu_fma": round(roofline_frac, 3),
+            "fma_bench_suspect": bool(fma_bench_suspect),
             "lorentzian_components": int(K),
             "t_full_step_ms": round(t_step * 1e3, 3),
             **({"t_model_fwd_ms": round(t_fwd * 1e3, 3),
