@@ -156,7 +156,8 @@ def main():
     t_fwd = t_fwdbwd = t_chol = None
     if os.environ.get("TAMCMC_BENCH_PROFILE"):
         log("profiling step components")
-        th0 = state.theta
+        # physical positions: state.theta is standardized u-space
+        th0 = state.u_center + state.u_scale * state.theta
 
         def timeit(fn, *a):
             out = fn(*a)                 # compile + warm

@@ -53,8 +53,10 @@ def _make_hyper(overrides: dict):
 
 
 def _sampler_cli_overrides(args):
-    """CLI-level sampler knobs (override problem-file [sampler] values)."""
-    out = {}
+    """CLI-level sampler knobs (override problem-file [sampler] values).
+    A .cfg workflow's [MALA] block arrives via args.sampler_overrides
+    (io/refconfig.py) and sits BELOW explicit CLI flags."""
+    out = dict(getattr(args, "sampler_overrides", None) or {})
     if getattr(args, "lambda_temp", None) is not None:
         out["lambda_temp"] = args.lambda_temp
     if getattr(args, "dn_mixing", None) is not None:
@@ -120,11 +122,25 @@ def _build_problem(args):
         if cfg.get("family_constraints", True):
             from tamcmc_tpu.stats.assemblers import build_family_constraints
             extra = build_family_constraints(cfg["model"], layout)
+        # Auto prior rows: derive hyperparameters at setup or refuse loudly
+        # (stats/auto_priors.py — never silently freeze a parameter the
+        # reference would fit)
+        from tamcmc_tpu.stats.auto_priors import (resolve_auto_priors,
+                                                  AutoPriorError)
+        try:
+            cfg["priors"] = resolve_auto_priors(cfg["priors"], cfg["params0"],
+                                                layout=layout, nu=nu,
+                                                spec=spec)
+        except AutoPriorError as e:
+            raise SystemExit(f"{args.problem}: {e}")
         problem = Problem(model_fn=fn, layout=layout, priors=cfg["priors"],
                           nu=nu, spec=spec,
                           params0=jnp.asarray(cfg["params0"], jnp.float32),
                           likelihood=cfg["likelihood"], sigma_spec=sigma,
-                          mask=mask, extra_logp=extra)
+                          mask=mask, extra_logp=extra,
+                          model_meta={"name": cfg["model"],
+                                      "spec": getattr(fn, "_family_spec",
+                                                      None)})
         sampler_cfg = dict(cfg.get("sampler", {}))
         sampler_cfg.update(_sampler_cli_overrides(args))
         hp = _make_hyper(sampler_cfg)
@@ -226,7 +242,15 @@ def cmd_run(args):
             print(f"resumed from {ckpt} after phase {last_phase}")
     else:
         key, sub = jax.random.split(key)
-        state = _place(init_state(problem, hp, n_temps, n_chains, sub))
+        init_scales = None
+        err_table = getattr(args, "init_scale_table", None)
+        if err_table:
+            # errors_default.cfg semantics: per-parameter proposal seeds
+            # (io/refconfig.py scales_from_errors)
+            from tamcmc_tpu.io.refconfig import scales_from_errors
+            init_scales = scales_from_errors(problem, err_table)
+        state = _place(init_state(problem, hp, n_temps, n_chains, sub,
+                                  init_scales=init_scales))
 
     from tamcmc_tpu.utils.metrics import MetricsLogger
     metrics = MetricsLogger(str(outdir / "metrics.jsonl"),
@@ -362,25 +386,48 @@ def cmd_batch(args):
     --stacked: all stars advance in ONE vmapped program (aligned grids
     required — sampler/ensemble.py), S posteriors for one program's cost."""
     import argparse
-    import tomllib
-    with open(args.presets, "rb") as f:
-        doc = tomllib.load(f)
-    stars = doc.get("star", [])
+    base = pathlib.Path(args.presets).parent
+    cfg_defaults = {}
+    err_table = None
+    if args.presets.endswith(".cfg"):
+        # reference-style workflow: config_presets.cfg rows (+ optional
+        # config_default.cfg master and errors_default.cfg proposal seeds)
+        # drive per-star fits from .cfg + .model files alone
+        # (io/refconfig.py — provisional semantics, SURVEY 2 / 5.6)
+        from tamcmc_tpu.io.refconfig import (
+            read_config_presets_provisional, read_config_default_provisional,
+            read_errors_default_provisional)
+        try:
+            stars = read_config_presets_provisional(args.presets)
+            if getattr(args, "config", None):
+                cfg_defaults = read_config_default_provisional(args.config)
+            if getattr(args, "errors", None):
+                err_table = read_errors_default_provisional(args.errors)
+        except ValueError as e:
+            raise SystemExit(str(e))
+    else:
+        import tomllib
+        with open(args.presets, "rb") as f:
+            doc = tomllib.load(f)
+        stars = doc.get("star", [])
     if not stars:
         raise SystemExit(f"{args.presets}: no [[star]] entries")
-    base = pathlib.Path(args.presets).parent
     if getattr(args, "stacked", False):
         return _batch_stacked(args, stars, base)
     for i, star in enumerate(stars):
         ns = argparse.Namespace(
             demo=star.get("demo"), problem=star.get("problem"),
             seed=int(star.get("seed", 0)),
-            temps=star.get("temps"), chains=star.get("chains"),
+            temps=star.get("temps") or cfg_defaults.get("temps"),
+            chains=star.get("chains") or cfg_defaults.get("chains"),
             burnin=star.get("burnin"), learning=star.get("learning"),
-            acquire=star.get("acquire"), thin=star.get("thin"),
+            acquire=star.get("acquire"),
+            thin=star.get("thin") or cfg_defaults.get("thin"),
             outdir=str(base / star.get("outdir", f"star_{i}")),
             resume=args.resume, no_report=star.get("no_report", False),
-            profile=False, max_rows=40)
+            profile=False, max_rows=40,
+            sampler_overrides=cfg_defaults.get("sampler") or None,
+            init_scale_table=err_table)
         if ns.problem and not pathlib.Path(ns.problem).is_absolute():
             ns.problem = str(base / ns.problem)
         print(f"=== star {i + 1}/{len(stars)}: "
@@ -657,7 +704,11 @@ def cmd_compare(args):
 
     def load(src):
         if pathlib.Path(src).is_dir():
-            return read_bin_samples(src, args.phase)
+            # (E, C, D) per-walker chains: _moments' ESS must see each
+            # walker's own autocorrelated trajectory — the flat (E*C, D)
+            # epoch-major interleave overestimates ESS by ~tau and inflates
+            # z-scores into spurious INCONSISTENT verdicts
+            return read_bin_samples(src, args.phase, with_chains=True)
         return load_ascii_samples(src)
 
     sa, na = load(args.a)
@@ -751,7 +802,15 @@ def main(argv=None):
                                       "(reference config_presets.cfg workflow)")
     pb.add_argument("--presets", required=True,
                     help="TOML with [[star]] entries: problem/demo, outdir, "
-                         "optional overrides (temps, chains, burnin, ...)")
+                         "optional overrides (temps, chains, burnin, ...); "
+                         "a .cfg path is read as a PROVISIONAL reference "
+                         "config_presets table (io/refconfig.py)")
+    pb.add_argument("--config",
+                    help="provisional config_default.cfg: master sampler/"
+                         "phase defaults applied below per-star overrides")
+    pb.add_argument("--errors",
+                    help="provisional errors_default.cfg: per-parameter "
+                         "initial proposal sigmas")
     pb.add_argument("--resume", action="store_true")
     pb.add_argument("--stacked", action="store_true",
                     help="advance ALL stars in one vmapped program "

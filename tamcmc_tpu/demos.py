@@ -79,7 +79,9 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
         ])
         p0 = np.asarray([8.0, 48.0, 3.0, 1.5])
         problem = Problem(model_fn=fn, layout=layout, priors=priors,
-                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32))
+                          nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32),
+                          model_meta={"name": "model_Single_Lorentzian",
+                                      "spec": None})
         hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
         plan = PhasePlan(burnin=1000, learning=4000, acquire=8000, thin=4)
         return problem, hp, plan, {"truth": np.asarray(truth),
@@ -112,7 +114,9 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
                           nu=nu, spec=spec,
                           params0=jnp.asarray(p0, jnp.float32),
                           likelihood="chi_square",
-                          sigma_spec=jnp.asarray(sigma, jnp.float32))
+                          sigma_spec=jnp.asarray(sigma, jnp.float32),
+                          model_meta={"name": "model_Harvey_Background",
+                                      "spec": None})
         hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
         plan = PhasePlan(burnin=2000, learning=6000, acquire=8000, thin=4)
         return problem, hp, plan, {"truth": np.asarray(truth),
@@ -210,14 +214,16 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
         hint = (tuple(float(v) for v in p0),
                 float(numax - half), float(2 * half / (ngrid - 1)),
                 int(ngrid), 10.0)
-        fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike",
-                                 _dc.replace(spec_obj, window_hint=hint))
+        spec_win = _dc.replace(spec_obj, window_hint=hint)
+        fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", spec_win)
         from tamcmc_tpu.stats.assemblers import build_family_constraints
         extra = build_family_constraints("model_MS_Global_a1etaa3_HarveyLike",
                                          layout)
         problem = Problem(model_fn=fn, layout=layout, priors=priors,
                           nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32),
-                          extra_logp=extra)
+                          extra_logp=extra,
+                          model_meta={"name": "model_MS_Global_a1etaa3_HarveyLike",
+                                      "spec": spec_win})
         hp = MALAHyper(use_drift=True, dN_mixing=10,
                        lambda_temp=1.35 if name == "kepler_full" else 1.5)
         return problem, hp, plan, {"truth": truth, "n_temps": n_temps,
@@ -273,7 +279,9 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
                           params0=jnp.asarray(p0, jnp.float32),
                           likelihood="chi_square",
                           sigma_spec=jnp.asarray(sigma, jnp.float32),
-                          extra_logp=extra)
+                          extra_logp=extra,
+                          model_meta={"name": "model_ajfit",
+                                      "spec": spec_obj})
         hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
         plan = PhasePlan(burnin=1500, learning=5000, acquire=8000, thin=4)
         return problem, hp, plan, {"truth": truth, "n_temps": 4,
@@ -281,8 +289,12 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
                                    "spec_kwargs": {
                                        "l_per_multiplet": (1, 1, 1, 2, 2, 2)}}
 
-    if name == "subgiant_mixed":
-        # BASELINE config 5: dense l=1 mixed modes from the ARMM solver
+    if name in ("subgiant_mixed", "subgiant_mixed_inertia"):
+        # BASELINE config 5: dense l=1 mixed modes from the ARMM solver.
+        # The _inertia variant turns on the bump_DP-style mode-inertia
+        # height suppression (models/asymptotic.py height_kind switch).
+        height_kind = ("inertia" if name.endswith("_inertia")
+                       else "equipartition")
         from tamcmc_tpu.models.asymptotic import RGBAsymptSpec
         from tamcmc_tpu.ops.armm import count_poles
         dnu, dpi1, eps_g, qq = 10.0, 80.0, 0.0, 0.15
@@ -291,7 +303,7 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
         n_p, n_g = count_poles(dnu, dpi1, 0.4, eps_g, numin, numax_w)
         spec_obj = RGBAsymptSpec(n_orders=n_orders, numin=numin,
                                  numax_win=numax_w, n_p_poles=n_p,
-                                 n_g_poles=n_g)
+                                 n_g_poles=n_g, height_kind=height_kind)
         fn, layout = build_model("model_RGB_asympt_a1etaa3_HarveyLike", spec_obj)
         truth = np.zeros(layout.ndim)
         f0 = 100.0 + dnu * (np.arange(n_orders) + 0.4)
@@ -346,7 +358,9 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
             "model_RGB_asympt_a1etaa3_HarveyLike", layout)
         problem = Problem(model_fn=fn, layout=layout, priors=priors,
                           nu=nu, spec=spec, params0=jnp.asarray(p0, jnp.float32),
-                          extra_logp=extra)
+                          extra_logp=extra,
+                          model_meta={"name": "model_RGB_asympt_a1etaa3_HarveyLike",
+                                      "spec": spec_obj})
         hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.3)
         plan = PhasePlan(burnin=4000, learning=15000, acquire=20000, thin=5)
         return problem, hp, plan, {"truth": truth, "n_temps": 8, "n_chains": 6,
@@ -354,8 +368,9 @@ def make_demo(name: str, seed: int = 0, ngrid: int = None,
                                    "spec_kwargs": {
                                        "n_orders": n_orders, "numin": numin,
                                        "numax_win": numax_w, "n_p_poles": n_p,
-                                       "n_g_poles": n_g}}
+                                       "n_g_poles": n_g,
+                                       "height_kind": height_kind}}
 
     raise KeyError(f"unknown demo '{name}'; have single_lorentzian, "
                    "harvey_background, ms_global, kepler_full, "
-                   "subgiant_mixed, ajfit")
+                   "subgiant_mixed, subgiant_mixed_inertia, ajfit")

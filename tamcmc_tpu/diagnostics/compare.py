@@ -111,7 +111,10 @@ def load_ascii_samples(path: str):
                     names = toks
             elif t:
                 break
-    arr = np.loadtxt(path)
+    # '!' headers (the reference bin2txt convention) must be skipped by the
+    # DATA parse too, not just the name scan above — plain loadtxt only
+    # treats '#' as comments and would crash on such files
+    arr = np.loadtxt(path, comments=("#", "!"))
     if arr.ndim == 1:
         arr = arr[:, None]
     if names is None or len(names) != arr.shape[1]:

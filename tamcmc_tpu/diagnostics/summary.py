@@ -49,8 +49,15 @@ def format_summary(rows, max_rows=None) -> str:
              f"{'q16':>12}{'q84':>12}{'ESS':>9}{'Rhat':>8}"]
     for r in rows[:max_rows]:
         rhat = r.get("rhat")
-        rtxt = f"{rhat:>8.3f}" if rhat is not None and np.isfinite(rhat) \
-            else f"{'-':>8}"
+        if rhat is not None and np.isfinite(rhat):
+            rtxt = f"{rhat:>8.3f}"
+        elif rhat is not None and np.isposinf(rhat):
+            # split_rhat returns +inf for frozen sub-chains with disagreeing
+            # means — the STRONGEST divergence signal; render it as such,
+            # '-' stays reserved for statistic-unavailable (NaN/short chain)
+            rtxt = f"{'inf':>8}"
+        else:
+            rtxt = f"{'-':>8}"
         lines.append(f"{r['name']:<18}{r['median']:>12.5g}{r['mean']:>12.5g}"
                      f"{r['std']:>11.4g}{r['quantiles']['q16.0']:>12.5g}"
                      f"{r['quantiles']['q84.0']:>12.5g}{r['ess']:>9.0f}"

@@ -192,24 +192,45 @@ def _read_one(bin_path: pathlib.Path, hdr_path: pathlib.Path):
     n = raw.size // nvars
     assert n == int(hdr["Nsamples"]), \
         f"bin/hdr mismatch: {n} records vs {hdr['Nsamples']}"
-    return raw.reshape(n, nvars), names
+    return raw.reshape(n, nvars), names, int(hdr.get("Nchains", 0))
 
 
-def read_bin_samples(outdir: str, phase: str):
+def read_bin_samples(outdir: str, phase: str, with_chains: bool = False):
     """Read back {phase}_samples.bin via its .hdr → (samples, names).
     This is the reference's bin2txt input path (SURVEY.md section 3.3).
     Multi-host runs leave per-process shards ({phase}_samples.hostK.bin);
-    they are concatenated in host order."""
+    they are concatenated in host order.
+
+    with_chains=True returns samples reshaped to (E, C, D) using the .hdr's
+    Nchains (shards concatenate on the walker axis) — per-walker chain
+    structure is what autocorrelation-aware consumers (ESS, tamcmc compare)
+    need: the flat (E*C, D) interleaving destroys per-walker
+    autocorrelation and inflates ESS by ~tau."""
     outdir = pathlib.Path(outdir)
+
+    def _chains(s, nchains):
+        n = s.shape[0]
+        if nchains and n % nchains == 0:
+            return s.reshape(n // nchains, nchains, s.shape[1])
+        return s[:, None, :]    # unknown layout: one pseudo-chain
+
     single = outdir / f"{phase}_samples.bin"
     if single.exists():
-        return _read_one(single, outdir / f"{phase}_samples.hdr")
+        s, names, nchains = _read_one(single, outdir / f"{phase}_samples.hdr")
+        return (_chains(s, nchains), names) if with_chains else (s, names)
     shards = sorted(glob.glob(str(outdir / f"{phase}_samples.host*.bin")))
     if not shards:
         raise FileNotFoundError(f"no {phase}_samples[.host*].bin in {outdir}")
     parts, names = [], None
     for b in shards:
-        s, names = _read_one(pathlib.Path(b),
-                             pathlib.Path(b[:-4] + ".hdr"))
-        parts.append(s)
+        s, names, nchains = _read_one(pathlib.Path(b),
+                                      pathlib.Path(b[:-4] + ".hdr"))
+        parts.append(_chains(s, nchains) if with_chains else s)
+    if with_chains:
+        emits = {p.shape[0] for p in parts}
+        if len(emits) == 1:
+            return np.concatenate(parts, axis=1), names
+        # desynced shards (aborted host): flatten back to pseudo-chains
+        parts = [p.reshape(-1, p.shape[-1])[:, None, :] for p in parts]
+        return np.concatenate(parts, axis=0), names
     return np.concatenate(parts, axis=0), names

@@ -23,29 +23,36 @@ from tamcmc_tpu.stats.priors import PriorKind
 
 
 def _support_check(kind: int, h, x: float):
-    """Returns (ok, msg) for an initial value vs its per-param prior.
-    Mirrors stats/priors.py's support logic in plain numpy."""
+    """Returns (level, msg) for an initial value vs its per-param prior:
+    level is None (fine), "warning" (legal but suspicious) or "error"
+    (zero prior support — the fit cannot start).  Mirrors stats/priors.py's
+    support logic in plain numpy."""
     k = PriorKind(int(kind))
     if k in (PriorKind.FIX, PriorKind.AUTO):
-        return True, None
+        return None, None
     if k == PriorKind.UNIFORM:
         if not (h[0] <= x <= h[1]):
-            return False, f"value {x:g} outside Uniform[{h[0]:g}, {h[1]:g}]"
+            return "error", f"value {x:g} outside Uniform[{h[0]:g}, {h[1]:g}]"
     elif k == PriorKind.GAUSSIAN:
         sig = max(h[1], 1e-30)
         z = abs(x - h[0]) / sig
         if z > 5.0:
-            return False, (f"value {x:g} is {z:.1f} prior sigma from the "
-                           f"Gaussian({h[0]:g}, {h[1]:g}) mean — walkers "
-                           "start in a prior-gradient desert")
+            # the Gaussian has full support: deliberately over-dispersed
+            # starts are standard convergence-checking practice, so this is
+            # a WARNING, not a blocker (hard errors stay reserved for
+            # genuinely zero-support starts)
+            return "warning", (f"value {x:g} is {z:.1f} prior sigma from the "
+                               f"Gaussian({h[0]:g}, {h[1]:g}) mean — walkers "
+                               "start in a prior-gradient desert")
     elif k == PriorKind.JEFFREYS:
         if not (0.0 <= x <= h[1]):
-            return False, f"value {x:g} outside Jeffreys[0, {h[1]:g}]"
+            return "error", f"value {x:g} outside Jeffreys[0, {h[1]:g}]"
     elif k == PriorKind.UNIFORM_GAUSSIAN:
         if x < h[0]:
-            return False, f"value {x:g} below Uniform-Gaussian lower edge {h[0]:g}"
+            return "error", (f"value {x:g} below Uniform-Gaussian lower "
+                             f"edge {h[0]:g}")
     # GUG has full support
-    return True, None
+    return None, None
 
 
 def _hyper_check(name: str, kind: int, h):
@@ -134,12 +141,15 @@ def validate_problem(path: str):
         if not math.isfinite(float(params0[i])):
             errors.append(f"param '{names[i]}': non-finite initial value")
             continue
-        ok, msg = _support_check(priors.kinds[i], priors.hypers[i],
-                                 float(params0[i]))
-        if not ok:
+        level, msg = _support_check(priors.kinds[i], priors.hypers[i],
+                                    float(params0[i]))
+        if level == "error":
             errors.append(f"param '{names[i]}': {msg}")
+        elif level == "warning":
+            warnings.append(f"param '{names[i]}': {msg}")
     if int(priors.free_mask.sum()) == 0:
         errors.append("every parameter is Fix/Auto — nothing to sample")
+
 
     # --- family cross-parameter constraints at the start point ---
     # (numpy mirror of the assembler's two primitive kinds; keeps validation
@@ -164,6 +174,7 @@ def validate_problem(path: str):
                               "ascending (ajfit family constraint)")
 
     # --- data ---
+    data_nu, data_power = None, None
     data_rel = cfg.get("data")
     if data_rel:
         data_path = pathlib.Path(data_rel)
@@ -176,6 +187,7 @@ def validate_problem(path: str):
                 from tamcmc_tpu.io.data import read_spectrum
                 d = read_spectrum(str(data_path))
                 nu = np.asarray(d["nu"])
+                data_nu, data_power = nu, np.asarray(d["power"])
                 if nu.shape[0] < 8:
                     warnings.append(f"data has only {nu.shape[0]} bins")
                 if np.any(np.diff(nu) <= 0):
@@ -210,6 +222,18 @@ def validate_problem(path: str):
             not cfg["model"].lower().startswith("model_ms_global"):
         warnings.append("auto_window only applies to MS-Global families; "
                         "ignored for this model")
+
+    # --- Auto prior rows must be derivable at setup (stats/auto_priors) ---
+    from tamcmc_tpu.stats.priors import PriorKind as _PK
+    if layout is not None and priors.ndim == layout.ndim and \
+            np.any(np.asarray(priors.kinds) == int(_PK.AUTO)):
+        from tamcmc_tpu.stats.auto_priors import (resolve_auto_priors,
+                                                  AutoPriorError)
+        try:
+            resolve_auto_priors(priors, params0, layout=layout,
+                                nu=data_nu, spec=data_power)
+        except AutoPriorError as e:
+            errors.append(str(e))
 
     # --- sampler / phases sections ---
     for k in cfg.get("sampler", {}):

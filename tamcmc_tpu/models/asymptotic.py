@@ -8,8 +8,15 @@ and rotational splitting are scaled by its g-mode inertia fraction zeta.
 
 Conventions used here (re-ground against bump_DP.cpp when readable):
   width_1(nu)  = W_p(nu) * (1 - zeta)        (p-dominated modes stay wide)
-  height_1(nu) = H_p(nu) * V^2_1             (equipartition: A^2 ~ (1-zeta)
-                                              and Gamma ~ (1-zeta) cancel)
+  height_1(nu) — a documented PARITY SWITCH (spec.height_kind), like the
+  sigma-estimator switch in sampler/state.py:
+    "equipartition" (default)  H_1 = H_p * V^2_1
+        A^2 ~ (1-zeta) (work done in the envelope) and Gamma ~ (1-zeta)
+        cancel in H = 2 A^2 / (pi Gamma): resolved-mode limit.
+    "inertia"                  H_1 = H_p * V^2_1 * (1 - zeta)
+        the height itself carries the mode-inertia suppression — the
+        bump_DP-style profile for g-dominated / unresolved modes [U];
+        g-dominated modes become LOW and narrow instead of tall and narrow.
   splitting    = m * (zeta * a1_core / 2 + (1 - zeta) * a1_env)
                  (1/2 = dipole g-mode Ledoux constant)
 
@@ -53,6 +60,8 @@ class RGBAsymptSpec:
     n_harvey: int = 3
     width_kind: str = "free"    # "free" (per-order) or "app2016" (6-param
                                 # relation; reference *_AppWidth_* variants)
+    height_kind: str = "equipartition"  # or "inertia": H_1 *= (1 - zeta) —
+                                # see the module docstring parity switch
 
     def layout(self) -> BlockLayout:
         n0 = self.n_orders
@@ -120,6 +129,10 @@ def build_rgb_asympt(spec: RGBAsymptSpec):
             spec.n_p_poles, spec.n_g_poles,
             delta0l=delta0l, alpha_p=alpha_p, alpha_g=alpha_g)
         h1 = interp_monotonic(f1, f0, heights) * vis[..., 0] * valid
+        if spec.height_kind == "inertia":
+            h1 = h1 * (1.0 - zeta)
+        elif spec.height_kind != "equipartition":
+            raise ValueError(f"unknown height_kind {spec.height_kind!r}")
         w1 = jnp.maximum(interp_monotonic(f1, f0, widths) * (1.0 - zeta), 0.005)
         split = zeta * a1_core / 2.0 + (1.0 - zeta) * a1_env
         eps1 = mode_visibility(1, inc)

@@ -54,6 +54,12 @@ class MSGlobalSpec:
                                 # c*Gamma truncation ALGORITHM (skip the
                                 # work), ~5-10x less (comp x bin) arithmetic
                                 # on config-3 grids.  None = dense masked.
+                                # params0_tuple may be a TUPLE OF TUPLES
+                                # (one params0 per star): windows become the
+                                # per-component UNION across stars — one
+                                # shared closure that is conservative (hence
+                                # correct) for every star of an aligned-grid
+                                # ensemble (sampler/ensemble.py).
 
     @property
     def lmax(self):
@@ -180,26 +186,37 @@ def build_ms_global(spec: MSGlobalSpec):
     groups = None
     if spec.window_hint is not None:
         # resolve static truncation windows ONCE at build time from the
-        # initial parameter vector (margin covers posterior wander)
+        # initial parameter vector(s) (margin covers posterior wander)
         import numpy as np
         import jax
         from tamcmc_tpu.ops.lorentzian import make_static_window_groups
         p0_t, nu_start, nu_step, n_bins, margin = spec.window_hint
-        p0 = jnp.asarray(np.asarray(p0_t, dtype=np.float32))
-        # one small jitted CPU call — eager assembly would dispatch dozens
-        # of tiny ops over a remote-TPU tunnel
+        stars = (p0_t if p0_t and isinstance(p0_t[0], (tuple, list))
+                 else (p0_t,))
+        # one small jitted CPU call per star — eager assembly would dispatch
+        # dozens of tiny ops over a remote-TPU tunnel
         try:
             cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             cpu = None
         import contextlib
         ctx = jax.default_device(cpu) if cpu else contextlib.nullcontext()
+        lo = hi = None
         with ctx:
-            H0, C0, W0, B0, _ = jax.jit(assemble)(p0)
-        trunc0 = float(np.asarray(layout.get(p0, "trunc"))[0]) or 40.0
-        hw = trunc0 * np.maximum(np.asarray(W0), 1e-3) + float(margin)
-        groups = make_static_window_groups(np.asarray(C0), hw, nu_start,
-                                           nu_step, int(n_bins))
+            a_jit = jax.jit(assemble)
+            for star_p0 in stars:
+                p0 = jnp.asarray(np.asarray(star_p0, dtype=np.float32))
+                H0, C0, W0, B0, _ = a_jit(p0)
+                trunc0 = float(np.asarray(layout.get(p0, "trunc"))[0]) or 40.0
+                hw = trunc0 * np.maximum(np.asarray(W0), 1e-3) + float(margin)
+                C0 = np.asarray(C0)
+                # per-component union across stars: conservative windows that
+                # cover every star's modes, so ONE closure serves the whole
+                # aligned-grid ensemble
+                lo = C0 - hw if lo is None else np.minimum(lo, C0 - hw)
+                hi = C0 + hw if hi is None else np.maximum(hi, C0 + hw)
+        groups = make_static_window_groups(0.5 * (lo + hi), 0.5 * (hi - lo),
+                                           nu_start, nu_step, int(n_bins))
 
     def model_fn(params, nu):
         H, C, W, B, noise = assemble(params)

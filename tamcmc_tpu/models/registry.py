@@ -127,4 +127,12 @@ def build_model(name: str, spec=None, **spec_kwargs):
     fam = _FAMILIES[key]
     if spec is None:
         spec = fam.spec_cls(**spec_kwargs)
-    return fam.builder(spec)
+    fn, layout = fam.builder(spec)
+    # introspection for ensemble stacking / tooling (sampler/ensemble.py
+    # model_meta); harmless on plain closures
+    try:
+        fn._family_name = name
+        fn._family_spec = spec
+    except AttributeError:
+        pass
+    return fn, layout

@@ -53,6 +53,7 @@ def state_shardings(mesh: Mesh) -> SamplerState:
         mu=s("temp", "chain", None),
         cov=s("temp", "chain", None, None),
         chol=s("temp", "chain", None, None),
+        ichol=s("temp", "chain", None, None),
         log_sigma=s("temp", "chain"),
         step=s(),
         naccept=s("temp"),
@@ -61,4 +62,6 @@ def state_shardings(mesh: Mesh) -> SamplerState:
         nswap_att=s("temp"),
         nswap_acc=s("temp"),
         scales0=s(None),
+        u_center=s(None),
+        u_scale=s(None),
     )

@@ -48,22 +48,12 @@ def make_sharded_phase_runner(problem, hp, betas, mesh, adapt: bool,
     sh = state_shardings(mesh)
     rep = NamedSharding(mesh, P())
 
+    from tamcmc_tpu.sampler.driver import make_record
+
     def super_step(state, key):
         keys = jax.random.split(key, thin)
         state, _ = jax.lax.scan(raw, state, keys)
-        record = {
-            "theta0": state.theta[0],
-            "logL": state.logL,
-            "logP0": state.logP[0],
-            "log_sigma": jnp.mean(state.log_sigma, 1),
-            "acc_rate": jnp.mean(state.acc_rate, 1),
-            "mu0": jnp.mean(state.mu[0], 0),
-            "cov_diag0": jnp.mean(jnp.diagonal(
-                state.cov[0], axis1=-2, axis2=-1), 0),
-            "swap_att": state.nswap_att,
-            "swap_acc": state.nswap_acc,
-        }
-        return state, record
+        return state, make_record(state)
 
     def run(state, key):
         keys = jax.random.split(key, n_emit)

@@ -55,6 +55,29 @@ def _raw_step(problem, hp, betas, adapt):
     return step
 
 
+def make_record(state: SamplerState):
+    """Host-facing record of one emitted (thinned) sample: the cold rung's
+    walkers plus adaptation telemetry.  theta/mu/cov are unmapped from the
+    sampler's standardized u-space back to PHYSICAL parameters — everything
+    downstream (writers, diagnostics, tests) sees reference-style units."""
+    return {
+        # (C, Df) coldest rung, physical units
+        "theta0": state.u_center + state.u_scale * state.theta[0],
+        "logL": state.logL,                          # (T, C)
+        "logP0": state.logP[0],                      # (C,)
+        "log_sigma": jnp.mean(state.log_sigma, 1),   # (T,) walker mean
+        "acc_rate": jnp.mean(state.acc_rate, 1),     # (T,)
+        "mu0": state.u_center + state.u_scale * jnp.mean(state.mu[0], 0),
+        # Sigma trajectory (reference outputs.cpp writes the full
+        # adaptation history [U]); the diagonal captures the per-param
+        # proposal scales, full Sigma lives in every checkpoint.
+        "cov_diag0": state.u_scale**2 * jnp.mean(jnp.diagonal(
+            state.cov[0], axis1=-2, axis2=-1), 0),   # (Df,) physical
+        "swap_att": state.nswap_att,                 # (T,) cumulative
+        "swap_acc": state.nswap_acc,                 # (T,)
+    }
+
+
 def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
                       adapt: bool, thin: int, n_emit: int):
     """Build a jitted (state, key) -> (state, outputs) running
@@ -64,22 +87,7 @@ def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
     def super_step(state, key):
         keys = jax.random.split(key, thin)
         state, _ = jax.lax.scan(raw, state, keys)
-        record = {
-            "theta0": state.theta[0],                    # (C, Df) coldest rung
-            "logL": state.logL,                          # (T, C)
-            "logP0": state.logP[0],                      # (C,)
-            "log_sigma": jnp.mean(state.log_sigma, 1),   # (T,) walker mean
-            "acc_rate": jnp.mean(state.acc_rate, 1),     # (T,)
-            "mu0": jnp.mean(state.mu[0], 0),             # (Df,) cold-rung mean
-            # Sigma trajectory (reference outputs.cpp writes the full
-            # adaptation history [U]); the diagonal captures the per-param
-            # proposal scales, full Sigma lives in every checkpoint.
-            "cov_diag0": jnp.mean(jnp.diagonal(
-                state.cov[0], axis1=-2, axis2=-1), 0),   # (Df,)
-            "swap_att": state.nswap_att,                 # (T,) cumulative
-            "swap_acc": state.nswap_acc,                 # (T,)
-        }
-        return state, record
+        return state, make_record(state)
 
     def run(state, key):
         keys = jax.random.split(key, n_emit)

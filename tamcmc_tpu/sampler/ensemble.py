@@ -27,15 +27,56 @@ from tamcmc_tpu.sampler.driver import _raw_step
 from tamcmc_tpu.sampler import mala
 
 
+def _spec_sans_window(spec):
+    if spec is not None and hasattr(spec, "window_hint"):
+        return dataclasses.replace(spec, window_hint=None)
+    return spec
+
+
+def _model_meta(p):
+    """Problem.model_meta, falling back to the introspection attrs
+    build_model stamps on every registry closure."""
+    if p.model_meta is not None:
+        return p.model_meta
+    name = getattr(p.model_fn, "_family_name", None)
+    if name is None:
+        return None
+    return {"name": name, "spec": getattr(p.model_fn, "_family_spec", None)}
+
+
 def validate_stackable(problems):
     """All problems must share the static structure; returns nothing, raises
     ValueError with the offending star index otherwise.  A silently mixed
-    ensemble would sample every star against star 0's model."""
+    ensemble would sample every star against star 0's model.
+
+    Model identity: the vmapped runner traces ONE model closure for all
+    stars, so stars must verifiably share the model family.  Distinct
+    closure objects are accepted only when both carry `model_meta` with the
+    same family name and the same spec (window hints aside — those are
+    merged by make_ensemble_phase_runner); a bare closure that differs from
+    star 0's is rejected rather than silently evaluated with star 0's model
+    (the round-2 wrong-answer hole)."""
     base = problems[0]
+    meta0 = _model_meta(base)
     for i, p in enumerate(problems[1:], start=1):
         if p.layout.ndim != base.layout.ndim:
             raise ValueError(f"star {i}: layout ndim {p.layout.ndim} != "
                              f"{base.layout.ndim}")
+        if p.model_fn is not base.model_fn:
+            meta_i = _model_meta(p)
+            if meta0 is None or meta_i is None:
+                raise ValueError(
+                    f"star {i}: model closure differs from star 0 and "
+                    "model_meta is missing — cannot prove the stars share a "
+                    "model family; build problems via build_model/the CLI "
+                    "(which stamp family metadata) or share one model_fn")
+            if meta_i["name"] != meta0["name"]:
+                raise ValueError(f"star {i}: model family "
+                                 f"{meta_i['name']!r} != {meta0['name']!r}")
+            if _spec_sans_window(meta_i.get("spec")) != \
+                    _spec_sans_window(meta0.get("spec")):
+                raise ValueError(f"star {i}: model spec differs from star 0 "
+                                 "(beyond window hints)")
         if not np.array_equal(np.asarray(p.priors.kinds),
                               np.asarray(base.priors.kinds)):
             raise ValueError(f"star {i}: prior kinds differ")
@@ -51,12 +92,61 @@ def validate_stackable(problems):
             raise ValueError(f"star {i}: sigma_spec presence differs")
 
 
+def _shared_model_problem(problems):
+    """Return star 0's problem, with the model closure rebuilt so it is
+    CORRECT for every star.
+
+    The only per-star constants baked into a model closure are the static
+    truncation window groups (anchored at each star's params0 —
+    models/ms_global.py).  If any star uses them, rebuild one closure whose
+    windows are the per-component UNION across stars (conservative, hence
+    correct for all); with no windows anywhere, star 0's closure is already
+    star-independent."""
+    base = problems[0]
+    hints = []
+    for p in problems:
+        spec = (_model_meta(p) or {}).get("spec")
+        hints.append(getattr(spec, "window_hint", None) if spec is not None
+                     else None)
+    if not any(h is not None for h in hints):
+        return base
+    with_hints = [h for h in hints if h is not None]
+    grid0 = with_hints[0][1:4]
+    for h in with_hints[1:]:
+        if h[1:4] != grid0:
+            raise ValueError("window hints disagree on the grid; grids were "
+                             "validated aligned — rebuild the problems")
+    merged = (tuple(tuple(h[0]) for h in with_hints), grid0[0], grid0[1],
+              grid0[2], max(h[4] for h in with_hints))
+    from tamcmc_tpu.models import build_model
+    meta = _model_meta(base)
+    spec = dataclasses.replace(meta["spec"], window_hint=merged)
+    fn, _ = build_model(meta["name"], spec=spec)
+    return dataclasses.replace(base, model_fn=fn,
+                               model_meta={**meta, "spec": spec})
+
+
+def _per_star_problems(problems):
+    """(shared_base, per-star problems): every star rebuilt around the ONE
+    ensemble-safe model closure (see _shared_model_problem), differing only
+    in the vmappable per-star data fields."""
+    validate_stackable(problems)
+    base = _shared_model_problem(problems)
+    stars = [dataclasses.replace(
+        base, spec=p.spec, priors=p.priors, params0=p.params0,
+        sigma_spec=p.sigma_spec, mask=p.mask) for p in problems]
+    return base, stars
+
+
 def init_ensemble_state(problems, hp: MALAHyper, n_temps: int, n_chains: int,
                         key):
-    """Per-star init_state, tree-stacked on a leading star axis."""
-    keys = jax.random.split(key, len(problems))
+    """Per-star init_state, tree-stacked on a leading star axis.  Uses the
+    same shared model closure as the phase runner, so the cached logL/grad
+    are consistent with every subsequent step."""
+    _, stars = _per_star_problems(problems)
+    keys = jax.random.split(key, len(stars))
     states = [mala.init_state(p, hp, n_temps, n_chains, k)
-              for p, k in zip(problems, keys)]
+              for p, k in zip(stars, keys)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
@@ -66,8 +156,7 @@ def make_ensemble_phase_runner(problems, hp: MALAHyper, betas, adapt: bool,
     runner (driver.make_phase_runner) vmapped over the star axis.  All
     record arrays gain a leading S axis after the emit axis is scanned:
     shapes are (n_emit, S, ...)."""
-    validate_stackable(problems)
-    base = problems[0]
+    base, _ = _per_star_problems(problems)
     specs = jnp.stack([jnp.asarray(p.spec, jnp.float32) for p in problems])
     hypers = jnp.stack([jnp.asarray(p.priors.hypers, jnp.float32)
                         for p in problems])
@@ -90,19 +179,8 @@ def make_ensemble_phase_runner(problems, hp: MALAHyper, betas, adapt: bool,
         raw = _raw_step(prob, hp, betas, adapt)
         keys = jax.random.split(key, thin)
         state, _ = jax.lax.scan(raw, state, keys)
-        record = {
-            "theta0": state.theta[0],
-            "logL": state.logL,
-            "logP0": state.logP[0],
-            "log_sigma": jnp.mean(state.log_sigma, 1),
-            "acc_rate": jnp.mean(state.acc_rate, 1),
-            "mu0": jnp.mean(state.mu[0], 0),
-            "cov_diag0": jnp.mean(jnp.diagonal(
-                state.cov[0], axis1=-2, axis2=-1), 0),
-            "swap_att": state.nswap_att,
-            "swap_acc": state.nswap_acc,
-        }
-        return state, record
+        from tamcmc_tpu.sampler.driver import make_record
+        return state, make_record(state)
 
     v_super = jax.vmap(star_super_step, in_axes=(0, 0, 0, 0, 0, 0, 0))
     S = len(problems)

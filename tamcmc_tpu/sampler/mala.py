@@ -9,10 +9,17 @@ Reference equivalent: `MALA::D_MALA` + the Robbins-Monro updates in
     reproduces the reference's RW behaviour exactly (the q-ratio terms cancel).
   * one step advances ALL (T temperatures x C walkers) simultaneously —
     the reference's serial per-chain loop becomes batched linear algebra.
-  * adaptation statistics (mu, Sigma, sigma) are PER WALKER, Robbins-Monro
-    over each walker's own trajectory — exactly the reference's per-chain
-    scheme batched over (T, C); no cross-walker reduction exists in the hot
-    path (see state.py for why ensemble-covariance adaptation was removed).
+  * adaptation statistics (mu, Sigma, sigma): two estimators, resolved
+    statically by MALAHyper.cov_estimator.  "ensemble" pools cross-walker
+    moments per temperature (a mean over the C axis — a psum over the chain
+    mesh axis when walkers are sharded); "walker" keeps each walker's own
+    expanding-window trajectory moments (the reference's per-chain scheme,
+    batched, no cross-walker reduction).  "auto" picks ensemble iff
+    2*C >= Df (see state.py for the rank-deficiency rationale).
+  * the sampler works in the problem's STANDARDIZED u-space (see state.py
+    "STANDARDIZED SAMPLING SPACE"): proposals, adaptation and the scan carry
+    are all O(1) per coordinate; physical parameters are reconstructed as
+    x = u_center + u_scale * u only to evaluate the model.
 
 Proposal:    x' = x + (sigma^2/2) Sigma D(x) + sigma chol(Sigma) xi
 Truncation:  D(x) = g * min(1, delta/|g|),  g = beta gradL + gradP
@@ -39,42 +46,68 @@ def _truncate_drift(g, delta):
     return g * jnp.minimum(1.0, delta / jnp.maximum(norm, 1e-30))
 
 
-def _batched_tri_solve(chol, b):
-    """Solve L y = b per walker: chol (T,C,Df,Df), b (T,C,Df)."""
-    return jax.scipy.linalg.solve_triangular(
-        chol, b[..., None], lower=True)[..., 0]
+def _batched_tri_inverse(chol):
+    """inv(L) per walker via one batched triangular solve against I.
+
+    Runs only at the amortised dN_chol refresh: the per-STEP reverse-kernel
+    computation then needs just `einsum(ichol, r)` instead of a triangular
+    solve — Df sequential substitution steps off the hot path (TPU
+    triangular solves are latency-bound scalar chains)."""
+    eye = jnp.broadcast_to(jnp.eye(chol.shape[-1], dtype=chol.dtype),
+                           chol.shape)
+    return jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
 
 
 def init_state(problem: Problem, hp: MALAHyper, n_temps: int, n_chains: int,
                key, init_scales=None, jitter: float = 1e-4) -> SamplerState:
     """Initial state: all walkers at params0(+jitter); Sigma = diag(scales^2).
 
-    init_scales: (Df,) per-parameter proposal scales.  Default: derived from
-    the prior table (Gaussian sigma; uniform range/100; fallback |p0|/100),
-    mirroring the role of the reference's per-parameter initial step sizes
-    from the .model file's prior hyperparameters [U].
+    init_scales: (Df,) per-parameter PHYSICAL proposal scales.  Default:
+    derived from the prior table (Gaussian sigma; uniform range/100;
+    fallback |p0|/100), mirroring the role of the reference's per-parameter
+    initial step sizes from the .model file's prior hyperparameters [U].
+
+    The state is built in the standardized u-space: real problems (with a
+    prior table) use u_scale = init_scales and u_center = params0_free, so
+    the initial u-space proposal covariance is the identity; analytic
+    targets keep the identity map (their tests/benches address theta
+    directly in physical units).
     """
     Df = problem.ndim_free
     x0 = problem.extract(problem.params0)
     if init_scales is None:
         init_scales = default_init_scales(problem)
-    scales = jnp.asarray(init_scales, dtype=jnp.float32)
+    phys_scales = np.asarray(init_scales, dtype=np.float32)
+    if getattr(problem, "priors", None) is None:
+        u_scale = np.ones(Df, dtype=np.float32)
+        u_center = jnp.zeros_like(x0)
+    else:
+        u_scale = phys_scales
+        u_center = x0
+    scales = jnp.asarray(phys_scales / u_scale, dtype=jnp.float32)  # u-space
+    u_scale = jnp.asarray(u_scale)
     k1, _ = jax.random.split(key)
     jit_noise = jitter * scales * jax.random.normal(k1, (n_temps, n_chains, Df))
-    theta0 = jnp.broadcast_to(x0, (n_temps, n_chains, Df)) + jit_noise
+    theta0 = jnp.broadcast_to((x0 - u_center) / u_scale,
+                              (n_temps, n_chains, Df)) + jit_noise
     # ONE jitted call: eager dispatch would run the batched model eval
     # primitive-by-primitive — pathological over a remote-TPU tunnel where
     # every op is a compile+RPC round trip
-    (logL, logP), (gL, gP) = jax.jit(
-        problem.batched_logparts_and_grad)(theta0)
+    def _parts(u):
+        (logL, logP), (gL, gP) = problem.batched_logparts_and_grad(
+            u_center + u_scale * u)
+        return (logL, logP), (gL * u_scale, gP * u_scale)
+    (logL, logP), (gL, gP) = jax.jit(_parts)(theta0)
     TC = (n_temps, n_chains)
     cov0 = jnp.broadcast_to(jnp.diag(scales**2), TC + (Df, Df))
     chol0 = jnp.broadcast_to(jnp.diag(scales), TC + (Df, Df))
+    ichol0 = (jnp.broadcast_to(jnp.diag(1.0 / scales), TC + (Df, Df))
+              if hp.use_drift else jnp.zeros(TC + (Df, Df), jnp.float32))
     sigma0 = hp.sigma0_scale * 2.38 / np.sqrt(max(Df, 1))
     return SamplerState(
         theta=theta0, logL=logL, logP=logP, gradL=gL, gradP=gP,
-        mu=jnp.broadcast_to(x0, TC + (Df,)),
-        cov=cov0, chol=chol0,
+        mu=jnp.broadcast_to((x0 - u_center) / u_scale, TC + (Df,)),
+        cov=cov0, chol=chol0, ichol=ichol0,
         log_sigma=jnp.full(TC, float(np.log(sigma0))),
         step=jnp.asarray(0, dtype=jnp.int32),
         naccept=jnp.zeros((n_temps,)),
@@ -83,6 +116,8 @@ def init_state(problem: Problem, hp: MALAHyper, n_temps: int, n_chains: int,
         nswap_att=jnp.zeros((n_temps,)),
         nswap_acc=jnp.zeros((n_temps,)),
         scales0=scales,
+        u_center=u_center,
+        u_scale=u_scale,
     )
 
 
@@ -134,13 +169,17 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
     prop = mean_fwd + sigma[..., None] * jnp.einsum(
         "tcij,tcj->tci", state.chol, xi)
 
-    # --- evaluate proposal ---
+    # --- evaluate proposal (model sees physical coordinates; gradients are
+    # chain-ruled back into u-space: g_u = g_x * u_scale) ---
+    prop_x = state.u_center + state.u_scale * prop
     if hp.use_drift:
-        (logLp, logPp), (gLp, gPp) = problem.batched_logparts_and_grad(prop)
+        (logLp, logPp), (gLp, gPp) = problem.batched_logparts_and_grad(prop_x)
+        gLp = gLp * state.u_scale
+        gPp = gPp * state.u_scale
     else:
         # RW mode needs no gradients: skip the model backward pass entirely
         # (~3x cheaper step; the cached grad slots carry zeros)
-        logLp, logPp = problem.batched_log_parts(prop)
+        logLp, logPp = problem.batched_log_parts(prop_x)
         gLp = jnp.zeros_like(state.gradL)
         gPp = jnp.zeros_like(state.gradP)
 
@@ -150,7 +189,7 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
         drift_p = _truncate_drift(gp, hp.drift_delta)
         Sdp = jnp.einsum("tcij,tcj->tci", state.cov, drift_p)
         mean_rev = prop + 0.5 * s2 * Sdp
-        r = _batched_tri_solve(state.chol, state.theta - mean_rev)
+        r = jnp.einsum("tcij,tcj->tci", state.ichol, state.theta - mean_rev)
         logq_rev = -0.5 * jnp.sum(r**2, axis=-1) / sigma**2
         logq_fwd = -0.5 * jnp.sum(xi**2, axis=-1)
         q_corr = logq_rev - logq_fwd
@@ -204,14 +243,19 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
             ch = jnp.linalg.cholesky(cv + jnp.diag(floor) + hp.eps_cov * eye)
             # SPD guard: if cholesky produced NaNs, keep the previous factor
             bad = jnp.any(jnp.isnan(ch), axis=(-2, -1), keepdims=True)
-            return jnp.where(bad, state.chol, ch)
+            ch = jnp.where(bad, state.chol, ch)
+            # the reverse-kernel inverse refreshes WITH the factor (drift
+            # mode only) — per-step work is then a plain matvec
+            ich = _batched_tri_inverse(ch) if hp.use_drift \
+                else state.ichol
+            return ch, ich
 
         # Cholesky is latency-bound on TPU (sequential panels of tiny ops);
         # refresh the proposal factor only every dN_chol steps — mu/Sigma
         # keep adapting every step, the factor lags a few steps (harmless
         # under Robbins-Monro gains).
-        chol = jax.lax.cond((step % hp.dN_chol) == 0, refresh,
-                            lambda cv: state.chol, cov)
+        chol, ichol = jax.lax.cond((step % hp.dN_chol) == 0, refresh,
+                                   lambda cv: (state.chol, state.ichol), cov)
         # sigma update: expected acceptance (Rao-Blackwellised) or realized
         # 0/1 indicator (Atchade as written) — a documented parity switch,
         # see MALAHyper.sigma_acc_estimator / docs/PARITY.md.
@@ -221,13 +265,15 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
             hp.log_sigma_min, hp.log_sigma_max)
     else:
         mu, cov, chol, log_sigma = state.mu, state.cov, state.chol, state.log_sigma
+        ichol = state.ichol
 
     return SamplerState(
         theta=theta, logL=logL, logP=logP, gradL=gradL, gradP=gradP,
-        mu=mu, cov=cov, chol=chol, log_sigma=log_sigma, step=step,
+        mu=mu, cov=cov, chol=chol, ichol=ichol, log_sigma=log_sigma, step=step,
         naccept=state.naccept + jnp.mean(accf, axis=1),
         nprop=state.nprop + 1.0,
         acc_rate=acc_rate,
         nswap_att=state.nswap_att, nswap_acc=state.nswap_acc,
         scales0=state.scales0,
+        u_center=state.u_center, u_scale=state.u_scale,
     )

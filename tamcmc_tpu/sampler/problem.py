@@ -34,6 +34,12 @@ class Problem:
     sigma_spec: Optional[jnp.ndarray] = None   # for chi_square likelihood
     mask: Optional[jnp.ndarray] = None
     extra_logp: Optional[Callable] = None      # cross-parameter constraints
+    model_meta: Optional[dict] = None          # {"name": family, "spec":
+                                               # spec dataclass} — lets the
+                                               # stacked ensemble PROVE two
+                                               # stars share a model family
+                                               # and rebuild merged-window
+                                               # closures (ensemble.py)
 
     def __post_init__(self):
         assert self.priors.ndim == self.layout.ndim, \

@@ -6,17 +6,29 @@ TPU-first redesign: ALL tempered chains and walkers live as leading array
 axes (T = temperatures, C = walkers per temperature, Df = free dims) of one
 immutable pytree carried through `lax.scan`.
 
-Adaptation statistics (mu, cov, sigma) are PER WALKER, learned from each
-walker's own trajectory — the reference's per-chain Atchade scheme, simply
-batched.  (An earlier design adapted one covariance per temperature from the
-walker ENSEMBLE cross-section; it deadlocks whenever walkers disperse before
-converging: the between-walker spread keeps Sigma large, sigma collapses to
-compensate, and every walker freezes.  Trajectory-based adaptation has no
-such failure mode and needs no cross-walker reduction — each walker is an
-independent reference-style chain, which is also the better sharding story.)
+Adaptation statistics (mu, cov, sigma) default to the walker-ensemble
+estimator when C is large enough (cross-walker pooled moments per
+temperature — a psum over the chain mesh axis when walkers are sharded) and
+fall back to per-walker expanding-window moments at small C (the reference's
+per-chain Atchade scheme, batched); see MALAHyper.cov_estimator.
 On tempering swaps the stats stay with the (rung, walker slot), not the
 wandering parameter vector — standard adaptive-parallel-tempering practice
-(SURVEY.md section 3.5 flags this as the parity-sensitive choice)."""
+(SURVEY.md section 3.5 flags this as the parity-sensitive choice).
+
+STANDARDIZED SAMPLING SPACE: `theta` (and mu/cov/chol/grad*) live in a
+per-problem affine "u-space", x = u_center + u_scale * u, where u_scale is
+the prior-derived per-parameter scale and u_center the start vector.  The
+physical parameter space mixes O(1e3) frequencies with O(1e-3) noise
+amplitudes: in float32 the proposal increment sigma*chol*xi underflows
+against theta once sigma*scale approaches ulp(theta) (~2.6e-4 at 2200 uHz),
+and the reverse-drift residual |theta - mean_rev|^2/sigma^2 then divides
+quantization noise by sigma^2 — the MH correction turns into a huge negative
+random term, everything rejects, and the Robbins-Monro scale death-spirals
+to log_sigma_min (diagnosed on BASELINE config 4: acceptance FELL from 0.59
+to 0.05 as sigma fell 4 decades).  In u-space every coordinate is O(1), so
+the ulp wall sits ~6 decades below any useful sigma.  Analytic targets get
+the identity map (center 0, scale 1).  Records and checkpoints written by
+the drivers are unmapped back to physical space at emit time."""
 
 from __future__ import annotations
 
@@ -30,7 +42,7 @@ from tamcmc_tpu.utils.constants import TARGET_ACCEPTANCE
 
 @flax.struct.dataclass
 class SamplerState:
-    theta: jnp.ndarray       # (T, C, Df) positions in free-param space
+    theta: jnp.ndarray       # (T, C, Df) positions in STANDARDIZED u-space
     logL: jnp.ndarray        # (T, C) untempered log-likelihood
     logP: jnp.ndarray        # (T, C) log-prior
     gradL: jnp.ndarray       # (T, C, Df) d logL / d theta
@@ -38,6 +50,11 @@ class SamplerState:
     mu: jnp.ndarray          # (T, C, Df) per-walker adaptive proposal mean
     cov: jnp.ndarray         # (T, C, Df, Df) per-walker proposal covariance
     chol: jnp.ndarray        # (T, C, Df, Df) cholesky(cov + eps I)
+    ichol: jnp.ndarray       # (T, C, Df, Df) inv(chol), refreshed with it:
+                             # turns the per-step reverse-kernel triangular
+                             # solve (Df sequential substitution steps —
+                             # latency-poison on TPU) into one batched
+                             # matvec; zeros in RW mode (never read)
     log_sigma: jnp.ndarray   # (T, C) per-walker adaptive scale (log)
     step: jnp.ndarray        # () global iteration counter (adaptation clock)
     naccept: jnp.ndarray     # (T,) accepted proposals (summed over walkers /C)
@@ -45,7 +62,10 @@ class SamplerState:
     acc_rate: jnp.ndarray    # (T, C) smoothed instantaneous acceptance rate
     nswap_att: jnp.ndarray   # (T,) swap attempts of pair (t, t+1); last row 0
     nswap_acc: jnp.ndarray   # (T,) accepted swaps of pair (t, t+1)
-    scales0: jnp.ndarray     # (Df,) initial per-param scales (cov floor)
+    scales0: jnp.ndarray     # (Df,) initial per-param U-SPACE scales
+                             # (cov floor; ones for standardized problems)
+    u_center: jnp.ndarray    # (Df,) physical = u_center + u_scale * theta
+    u_scale: jnp.ndarray     # (Df,) prior-derived standardization scales
 
 
 @dataclasses.dataclass(frozen=True)

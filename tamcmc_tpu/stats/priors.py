@@ -36,7 +36,11 @@ class PriorKind(IntEnum):
     JEFFREYS = 3          # modified Jeffreys: p ~ 1/(x + h0) on [0, h1]
     UNIFORM_GAUSSIAN = 4  # flat on [h0,h1], Gaussian tail sigma=h2 above h1
     GUG = 5               # Gaussian(h2) below h0, flat [h0,h1], Gaussian(h3) above h1
-    AUTO = 6              # value derived at setup; behaves as FIX at sample time
+    AUTO = 6              # hyperparameters derived at SETUP by
+                          # stats/auto_priors.resolve_auto_priors (or the
+                          # setup refuses loudly) — an AUTO code must never
+                          # reach sampling; if one does, the free_mask
+                          # excludes it and log_prior treats it as FIX
 
 
 def _lp_fix(h, x):

@@ -219,3 +219,82 @@ class TestSecondOrderAsymptotics:
         g = jax.grad(loss, argnums=(0, 1, 2))(0.1, 0.01, 1e-3)
         assert all(np.isfinite(float(x)) for x in g)
         assert abs(float(g[0])) > 0      # d01 genuinely moves the forest
+
+
+class TestHeightKindParitySwitch:
+    """VERDICT r2 item 6: mixed-mode amplitude physics — the inertia-based
+    height option H_1 *= (1 - zeta) as a documented parity switch
+    (models/asymptotic.py docstring), vs the default equipartition heights."""
+
+    def _params(self, layout, mixed_tail):
+        p = np.zeros(layout.ndim, dtype=np.float32)
+        f0 = 100.0 + DNU * (np.arange(5) + EPSP)
+        p[layout.offset("heights"):layout.offset("heights") + 5] = 5.0
+        p[layout.offset("visibilities"):layout.offset("visibilities") + 2] = \
+            [1.5, 0.53]
+        p[layout.offset("freq_l0"):layout.offset("freq_l0") + 5] = f0
+        p[layout.offset("freq_l2"):layout.offset("freq_l2") + 5] = f0 - 1.2
+        p[layout.offset("mixed"):layout.offset("mixed") + 6] = \
+            [DPI1, EPSG, Q] + list(mixed_tail)
+        # inc = 0 -> only m = 0 visible with unit visibility: the model
+        # difference at a mixed-mode centre isolates H_i * zeta_i
+        p[layout.offset("rot"):layout.offset("rot") + 3] = [0.0, 0.0, 0.0]
+        p[layout.offset("widths"):layout.offset("widths") + 5] = 0.15
+        no = layout.offset("noise")
+        p[no:no + 10] = [-1, -1, 2, -1, -1, 2, -1, -1, 2, 0.1]
+        p[layout.offset("inclination")] = 0.0
+        return p, f0
+
+    @pytest.mark.parametrize("mixed_tail", [(0.0, 0.0, 0.0),
+                                            (1.0, 0.01, 0.005)],
+                             ids=["first-order", "O2"])
+    def test_inertia_suppresses_by_one_minus_zeta(self, mixed_tail):
+        from tamcmc_tpu.models.asymptotic import RGBAsymptSpec, build_rgb_asympt
+        import dataclasses as dc
+        n_p, n_g = count_poles(DNU, DPI1, EPSP, EPSG, NUMIN, NUMAX)
+        spec_eq = RGBAsymptSpec(n_orders=5, numin=NUMIN, numax_win=NUMAX,
+                                n_p_poles=n_p, n_g_poles=n_g)
+        spec_in = dc.replace(spec_eq, height_kind="inertia")
+        fn_eq, layout = build_rgb_asympt(spec_eq)
+        fn_in, _ = build_rgb_asympt(spec_in)
+        p, f0 = self._params(layout, mixed_tail)
+        nu = jnp.linspace(NUMIN, NUMAX, 40000)
+        m_eq = np.asarray(jax.jit(fn_eq)(jnp.asarray(p), nu))
+        m_in = np.asarray(jax.jit(fn_in)(jnp.asarray(p), nu))
+        # inertia heights are a pure suppression: never above equipartition
+        assert np.all(m_in <= m_eq + 1e-4)
+        # reconstruct the forest the models used and check the suppression
+        # at each well-separated mixed-mode centre is H_i * zeta_i
+        delta0l, alpha_p, alpha_g = mixed_tail
+        f1, zeta, valid = mixed_mode_frequencies(
+            DNU, EPSP, DPI1, EPSG, Q, NUMIN, NUMAX, n_p, n_g,
+            delta0l=delta0l, alpha_p=alpha_p, alpha_g=alpha_g)
+        f1 = np.asarray(f1); zeta = np.asarray(zeta)
+        valid = np.asarray(valid) > 0
+        from tamcmc_tpu.models.common import interp_monotonic
+        H = np.asarray(interp_monotonic(jnp.asarray(f1), jnp.asarray(f0),
+                                        jnp.full(5, 5.0))) * 1.5
+        nu_np = np.asarray(nu)
+        checked = 0
+        for i in np.nonzero(valid)[0]:
+            # skip modes with a neighbour close enough to pollute the centre
+            others = f1[valid & (np.arange(f1.size) != i)]
+            if others.size and np.min(np.abs(others - f1[i])) < 1.0:
+                continue
+            j = int(np.argmin(np.abs(nu_np - f1[i])))
+            expect = H[i] * zeta[i]
+            got = m_eq[j] - m_in[j]
+            assert abs(got - expect) < 0.25 * max(expect, 0.2), \
+                (f1[i], zeta[i], got, expect)
+            checked += 1
+        assert checked >= 3, checked
+
+    def test_demo_variant_runs(self):
+        from tamcmc_tpu.demos import make_demo
+        problem, hp, plan, meta = make_demo("subgiant_mixed_inertia", seed=2,
+                                            ngrid=3000)
+        assert problem.model_meta["spec"].height_kind == "inertia"
+        import jax as _jax
+        logL, logP = _jax.jit(problem.log_parts)(
+            problem.extract(problem.params0))
+        assert np.isfinite(float(logL)) and np.isfinite(float(logP))

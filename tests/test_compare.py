@@ -91,3 +91,33 @@ class TestCLICompare:
         exp = tmp_path / "export.txt"
         run_cli(["export", "--outdir", str(out), "--out", str(exp)])
         run_cli(["compare", str(out), str(exp)])       # identical -> exit 0
+
+
+class TestAdviceFixes:
+    def test_bang_header_ascii(self, tmp_path):
+        """'!'-prefixed headers (reference bin2txt convention) must parse in
+        BOTH the name scan and the data load (ADVICE r2: loadtxt only skips
+        '#' by default and crashed on '!')."""
+        p = tmp_path / "ref.txt"
+        body = "\n".join(" ".join(f"{v:.6f}" for v in row)
+                         for row in _draws(0, n=50))
+        p.write_text("! alpha beta gamma\n" + body + "\n")
+        s, names = load_ascii_samples(str(p))
+        assert names == NAMES and s.shape == (50, 3)
+
+    def test_bin_read_with_chains(self, tmp_path):
+        """read_bin_samples(with_chains=True) reshapes via the .hdr's
+        Nchains so ESS sees per-walker chains (ADVICE r2: the flat
+        interleave overestimates ESS by ~tau)."""
+        from tamcmc_tpu.io.outputs import OutputWriter, read_bin_samples
+        C, E, D = 4, 30, 3
+        w = OutputWriter(str(tmp_path), NAMES, n_temps=2, n_chains=C)
+        rng = np.random.default_rng(0)
+        recs = rng.standard_normal((E, C, D))
+        w.append_chunk("A", {"theta0": recs})
+        w.close()
+        flat, names = read_bin_samples(str(tmp_path), "A")
+        assert flat.shape == (E * C, D)
+        cube, names = read_bin_samples(str(tmp_path), "A", with_chains=True)
+        assert cube.shape == (E, C, D)
+        np.testing.assert_allclose(cube, recs, rtol=1e-12)

