@@ -215,14 +215,15 @@ def build_ms_global(spec: MSGlobalSpec):
                 # aligned-grid ensemble
                 lo = C0 - hw if lo is None else np.minimum(lo, C0 - hw)
                 hi = C0 + hw if hi is None else np.maximum(hi, C0 + hw)
-        groups = make_static_window_groups(0.5 * (lo + hi), 0.5 * (hi - lo),
-                                           nu_start, nu_step, int(n_bins))
+        from tamcmc_tpu.ops.lorentzian import partition_window_groups
+        groups = partition_window_groups(make_static_window_groups(
+            0.5 * (lo + hi), 0.5 * (hi - lo), nu_start, nu_step, int(n_bins)))
 
     def model_fn(params, nu):
         H, C, W, B, noise = assemble(params)
         if groups is not None:
-            from tamcmc_tpu.ops.lorentzian import sum_lorentzians_grouped
-            modes = sum_lorentzians_grouped(nu, H, C, W, B, groups)
+            from tamcmc_tpu.ops.lorentzian import sum_lorentzians_segments
+            modes = sum_lorentzians_segments(nu, H, C, W, B, groups)
         else:
             modes = sum_lorentzians(nu, H, C, W, B)
         bg = noise_background(nu, noise, n_harvey=spec.n_harvey,

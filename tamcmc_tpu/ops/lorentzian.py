@@ -344,6 +344,16 @@ def sum_lorentzians_grouped(nu, heights, nu0s, widths, asyms, groups):
     (zero outside — reference truncation); inside a slice the factored dense
     kernel (custom VJP) does the work.  `groups` must come from
     make_static_window_groups (static python data, part of the trace).
+
+    NOTE (perf): the per-group `at[].add` chain below is fine in a
+    standalone jit, but inside a `lax.scan` body XLA fails to alias the
+    dynamic-update-slices in place and each group update copies the FULL
+    (batch, N) accumulator — measured 3 ms/step of pure copy traffic on the
+    config-3 bench (forward model eval: 0.35 ms isolated vs 3.3 ms
+    in-scan).  The hot path therefore uses partition_window_groups +
+    sum_lorentzians_segments (disjoint slices, output built by ONE concat —
+    no scatter at all); this function remains the overlap-tolerant
+    reference implementation for tests and A/Bs.
     """
     out = jnp.zeros(nu.shape, dtype=nu.dtype)
     for idx, lo, hi in groups:
@@ -354,3 +364,65 @@ def sum_lorentzians_grouped(nu, heights, nu0s, widths, asyms, groups):
                               widths[ii], asyms[ii])
         out = out.at[lo:hi].add(seg)
     return out
+
+
+def partition_window_groups(groups):
+    """Resolve (possibly overlapping) window groups into DISJOINT segments
+    (host-side, static) with BIT-IDENTICAL semantics and comp-bin cost.
+
+    Input/output format matches make_static_window_groups: a tuple of
+    (component_index_tuple, bin_lo, bin_hi).  The union of group ranges is
+    cut at every group boundary into elementary intervals; each interval
+    carries the union of the components of every group covering it, and
+    adjacent intervals with identical component sets are re-merged.  A bin
+    therefore receives exactly the same per-component contributions as in
+    the grouped form (each component is evaluated on its own group's range,
+    no more, no less), and the total (component x bin) work is unchanged —
+    but the segments are disjoint, which lets sum_lorentzians_segments
+    build its output by concatenation instead of the scatter-add chain
+    (see that function's perf note).  Empty groups (hi <= lo: off-grid
+    components) contribute exactly zero in both forms and are dropped."""
+    live = [(tuple(idx), lo, hi) for idx, lo, hi in groups if hi > lo]
+    if not live:
+        return ()
+    cuts = sorted({b for _, lo, hi in live for b in (lo, hi)})
+    segs = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        comps = tuple(sorted({i for idx, glo, ghi in live
+                              if glo < hi and ghi > lo for i in idx}))
+        if not comps:
+            continue
+        if segs and segs[-1][0] == comps and segs[-1][2] == lo:
+            segs[-1] = (comps, segs[-1][1], hi)
+        else:
+            segs.append((comps, lo, hi))
+    return tuple(segs)
+
+
+def sum_lorentzians_segments(nu, heights, nu0s, widths, asyms, segments):
+    """Windowed accumulation over DISJOINT static segments, output built by
+    one concatenation — the hot-path form of sum_lorentzians_grouped.
+
+    `segments` must be disjoint and sorted (partition_window_groups).
+    Inside a `lax.scan` body this writes each (batch, seg_bins) piece into
+    the output exactly once; the grouped at[].add chain instead copies the
+    full accumulator per group (XLA in-place aliasing fails across
+    dynamic-update-slice chains in while-loop bodies) — 10x forward-step
+    cost on the config-3 bench shapes.  Zero-filled gaps are unbatched
+    constants under vmap."""
+    N = nu.shape[0]
+    pieces, pos = [], 0
+    for idx, lo, hi in segments:
+        if hi <= lo:
+            continue
+        if lo > pos:
+            pieces.append(jnp.zeros((lo - pos,), nu.dtype))
+        ii = jnp.asarray(idx)
+        pieces.append(sum_lorentzians(nu[lo:hi], heights[ii], nu0s[ii],
+                                      widths[ii], asyms[ii]))
+        pos = hi
+    if pos < N:
+        pieces.append(jnp.zeros((N - pos,), nu.dtype))
+    if not pieces:
+        return jnp.zeros(nu.shape, dtype=nu.dtype)
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)

@@ -285,3 +285,115 @@ class TestGroupedStaticWindows:
                                       jnp.asarray([1.0]),
                                       jnp.asarray([0.0]), groups)
         assert float(jnp.abs(out).max()) == 0.0
+
+
+class TestPartitionedSegments:
+    """partition_window_groups + sum_lorentzians_segments: the disjoint
+    concat form of the grouped accumulation (the in-scan hot path; see
+    ops/lorentzian.py perf notes)."""
+
+    def _comps(self, K=24, seed=3):
+        rng = np.random.default_rng(seed)
+        c = np.sort(rng.uniform(120.0, 880.0, K)).astype(np.float32)
+        h = rng.uniform(1.0, 10.0, K).astype(np.float32)
+        w = rng.uniform(0.8, 3.0, K).astype(np.float32)
+        b = rng.uniform(-0.02, 0.02, K).astype(np.float32)
+        return h, c, w, b
+
+    def test_partition_is_disjoint_sorted_and_work_preserving(self):
+        from tamcmc_tpu.ops.lorentzian import (
+            make_static_window_groups, partition_window_groups)
+        h, c, w, b = self._comps()
+        step = 800.0 / 8191
+        groups = make_static_window_groups(c, 40.0 * w + 10.0, 100.0, step,
+                                           8192)
+        segs = partition_window_groups(groups)
+        pos = 0
+        for idx, lo, hi in segs:
+            assert lo >= pos and hi > lo
+            pos = hi
+        # identical total (component x bin) work — partitioning must not
+        # change the truncation algorithm's cost
+        cb_g = sum(len(i) * (hi - lo) for i, lo, hi in groups if hi > lo)
+        cb_s = sum(len(i) * (hi - lo) for i, lo, hi in segs)
+        assert cb_g == cb_s
+        # every live component appears with identical bin coverage
+        cover_g = {}
+        for idx, lo, hi in groups:
+            if hi > lo:
+                for i in idx:
+                    cover_g[i] = cover_g.get(i, 0) + (hi - lo)
+        cover_s = {}
+        for idx, lo, hi in segs:
+            for i in idx:
+                cover_s[i] = cover_s.get(i, 0) + (hi - lo)
+        assert cover_g == cover_s
+
+    def test_segments_match_grouped_bitwise_semantics(self):
+        from tamcmc_tpu.ops.lorentzian import (
+            sum_lorentzians_grouped, sum_lorentzians_segments,
+            make_static_window_groups, partition_window_groups)
+        h, c, w, b = self._comps()
+        nu = jnp.linspace(100.0, 900.0, 8192)
+        step = 800.0 / 8191
+        groups = make_static_window_groups(c, 40.0 * w + 10.0, 100.0, step,
+                                           8192)
+        segs = partition_window_groups(groups)
+        grp = sum_lorentzians_grouped(nu, jnp.asarray(h), jnp.asarray(c),
+                                      jnp.asarray(w), jnp.asarray(b), groups)
+        seg = sum_lorentzians_segments(nu, jnp.asarray(h), jnp.asarray(c),
+                                       jnp.asarray(w), jnp.asarray(b), segs)
+        # same (component, bin) contributions -> f32 reassociation only
+        err = np.abs(np.asarray(seg - grp)).max()
+        assert err < 1e-5 * float(np.asarray(grp).max()), err
+
+    def test_segments_gradients_match_grouped(self):
+        from tamcmc_tpu.ops.lorentzian import (
+            sum_lorentzians_grouped, sum_lorentzians_segments,
+            make_static_window_groups, partition_window_groups)
+        h, c, w, b = self._comps(K=12, seed=5)
+        nu = jnp.linspace(100.0, 900.0, 4096)
+        step = 800.0 / 4095
+        groups = make_static_window_groups(c, 40.0 * w + 10.0, 100.0, step,
+                                           4096)
+        segs = partition_window_groups(groups)
+
+        def loss(fn, table, hh, cc, ww, bb):
+            return jnp.sum(fn(nu, hh, cc, ww, bb, table) ** 2)
+
+        import functools
+        args = (jnp.asarray(h), jnp.asarray(c), jnp.asarray(w), jnp.asarray(b))
+        gg = jax.grad(functools.partial(loss, sum_lorentzians_grouped, groups),
+                      argnums=(0, 1, 2, 3))(*args)
+        gs = jax.grad(functools.partial(loss, sum_lorentzians_segments, segs),
+                      argnums=(0, 1, 2, 3))(*args)
+        for a, bgrad in zip(gg, gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bgrad),
+                                       rtol=2e-4, atol=1e-4)
+
+    def test_segments_vmap_and_empty(self):
+        from tamcmc_tpu.ops.lorentzian import (
+            sum_lorentzians_segments, make_static_window_groups,
+            partition_window_groups)
+        nu = jnp.linspace(100.0, 900.0, 1024)
+        step = 800.0 / 1023
+        # all components off-grid -> zero everywhere, no crash
+        segs = partition_window_groups(make_static_window_groups(
+            np.asarray([5000.0]), np.asarray([50.0]), 100.0, step, 1024))
+        out = sum_lorentzians_segments(nu, jnp.asarray([4.0]),
+                                       jnp.asarray([5000.0]),
+                                       jnp.asarray([1.0]),
+                                       jnp.asarray([0.0]), segs)
+        assert float(jnp.abs(out).max()) == 0.0
+        # vmap over a walker batch
+        h, c, w, b = self._comps(K=8, seed=7)
+        segs = partition_window_groups(make_static_window_groups(
+            c, 40.0 * w + 10.0, 100.0, step, 1024))
+        hb = jnp.asarray(np.stack([h, 2.0 * h]))
+        cb = jnp.asarray(np.stack([c, c + 0.5]))
+        wb = jnp.asarray(np.stack([w, w]))
+        bb = jnp.asarray(np.stack([b, b]))
+        outs = jax.vmap(lambda H, C, W, B: sum_lorentzians_segments(
+            nu, H, C, W, B, segs))(hb, cb, wb, bb)
+        assert outs.shape == (2, 1024)
+        assert np.all(np.isfinite(np.asarray(outs)))
