@@ -231,4 +231,25 @@ def build_ms_global(spec: MSGlobalSpec):
         return modes + bg
 
     model_fn._window_groups = groups   # introspection (bench FLOP model)
+    if groups is not None:
+        from tamcmc_tpu.ops.lorentzian import segment_values
+
+        def segments_and_bg(params, nu):
+            """Hot-path hook (sampler/problem.py): the window partition's
+            piece values + a per-piece background evaluator, WITHOUT
+            assembling the full spectrum — feeds likelihood_chi22p_pieces,
+            which skips the (batch, N) concat and keeps quiet-bin work
+            unbatched when noise is fixed.  The background is evaluated per
+            piece (see the likelihood's docstring for why a sliced
+            full-grid background would poison the backward pass)."""
+            H, C, W, B, noise = assemble(params)
+
+            def bg_fn(lo, hi):
+                return noise_background(nu[lo:hi], noise,
+                                        n_harvey=spec.n_harvey,
+                                        kind=spec.noise_kind)
+
+            return segment_values(nu, H, C, W, B, groups), bg_fn
+
+        model_fn._segments_and_bg = segments_and_bg
     return model_fn, layout

@@ -412,17 +412,30 @@ def sum_lorentzians_segments(nu, heights, nu0s, widths, asyms, segments):
     constants under vmap."""
     N = nu.shape[0]
     pieces, pos = [], 0
-    for idx, lo, hi in segments:
-        if hi <= lo:
-            continue
+    for lo, hi, seg in segment_values(nu, heights, nu0s, widths, asyms,
+                                      segments):
         if lo > pos:
             pieces.append(jnp.zeros((lo - pos,), nu.dtype))
-        ii = jnp.asarray(idx)
-        pieces.append(sum_lorentzians(nu[lo:hi], heights[ii], nu0s[ii],
-                                      widths[ii], asyms[ii]))
+        pieces.append(seg)
         pos = hi
     if pos < N:
         pieces.append(jnp.zeros((N - pos,), nu.dtype))
     if not pieces:
         return jnp.zeros(nu.shape, dtype=nu.dtype)
     return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+
+
+def segment_values(nu, heights, nu0s, widths, asyms, segments):
+    """Evaluate each disjoint segment's mode sum: [(lo, hi, values)].
+
+    The piece list feeds either sum_lorentzians_segments (full-spectrum
+    assembly) or likelihood_chi22p_pieces (fused piece-wise likelihood that
+    never materialises the concatenated spectrum)."""
+    out = []
+    for idx, lo, hi in segments:
+        if hi <= lo:
+            continue
+        ii = jnp.asarray(idx)
+        out.append((lo, hi, sum_lorentzians(nu[lo:hi], heights[ii], nu0s[ii],
+                                            widths[ii], asyms[ii])))
+    return out

@@ -111,27 +111,42 @@ class Problem:
         return full[..., jnp.asarray(self.free_idx)]
 
     # ---- log-posterior pieces ----
+    @property
+    def _pieces_hook(self):
+        """Fused piece-wise chi22p path (window-partitioned models only):
+        evaluate mode-sum pieces + background and reduce the likelihood per
+        piece (stats/likelihoods.py likelihood_chi22p_pieces) instead of
+        assembling the (batch, N) spectrum.  Semantically identical up to
+        f32 reassociation; measured win: the concatenated spectrum is never
+        written/re-read, and quiet-bin partial sums stay unbatched under
+        vmap whenever the noise block is fully fixed."""
+        if (self.likelihood in ("chi22p", "chi(2,2p)") and self.mask is None):
+            return getattr(self.model_fn, "_segments_and_bg", None)
+        return None
+
     def log_parts(self, x):
         """x: (Df,) free vector -> (logL, logP) scalars."""
         full = self.embed(x)
-        model = self.model_fn(full, self.nu)
-        lfn = get_likelihood(self.likelihood)
-        if self.likelihood == "chi_square":
-            logL = lfn(self.spec, model, self.sigma_spec, self.mask)
-        else:
-            logL = lfn(self.spec, model, self.mask)
+        logL = self._logL_from_full(full)
         logP = self.priors.log_prior(full)
         if self.extra_logp is not None:
             logP = logP + self.extra_logp(full)
         return logL, logP
 
-    def _logL_only(self, x):
-        full = self.embed(x)
+    def _logL_from_full(self, full):
+        hook = self._pieces_hook
+        if hook is not None:
+            from tamcmc_tpu.stats.likelihoods import likelihood_chi22p_pieces
+            segs, bg = hook(full, self.nu)
+            return likelihood_chi22p_pieces(self.spec, segs, bg)
         model = self.model_fn(full, self.nu)
         lfn = get_likelihood(self.likelihood)
         if self.likelihood == "chi_square":
             return lfn(self.spec, model, self.sigma_spec, self.mask)
         return lfn(self.spec, model, self.mask)
+
+    def _logL_only(self, x):
+        return self._logL_from_full(self.embed(x))
 
     def _logP_only(self, x):
         full = self.embed(x)

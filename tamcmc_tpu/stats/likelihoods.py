@@ -39,6 +39,43 @@ def likelihood_chi_square(spec, model, sigma, mask=None):
     return -0.5 * jnp.sum(terms)
 
 
+def likelihood_chi22p_pieces(spec, segments, bg_fn):
+    """chi^2(2 d.o.f.) log-likelihood evaluated PIECE-WISE over a static
+    window partition, without materialising the full model spectrum.
+
+    segments: [(lo, hi, seg_values)] disjoint sorted bin ranges with the
+    mode-sum evaluated on each (from a window-partitioned model, e.g.
+    ms_global's `_segments_and_bg` hook); bg_fn(lo, hi) evaluates the
+    background on bins [lo, hi) — PER PIECE, never on the full grid: a
+    full-grid background sliced per piece would make each slice's VJP
+    scatter-pad a (batch, N) cotangent per piece (measured 2x total step
+    cost from backward copy traffic); evaluated per piece, the noise-param
+    cotangents reduce within each piece to the tiny noise vector instead.
+    Equivalent to likelihood_chi22p(spec, concat(pieces) + bg) up to f32
+    reassociation, but (a) the (batch, N) concatenated spectrum is never
+    written to memory, and (b) quiet-bin partial sums stay unbatched under
+    vmap whenever the noise block is fully fixed — the piece-wise analog of
+    the reference evaluating only inside truncation windows
+    (`optimum_lorentzian_calc_*` [U])."""
+    N = spec.shape[-1]
+    total = 0.0
+    pos = 0
+
+    def quiet(lo, hi):
+        m = jnp.maximum(bg_fn(lo, hi), 1e-12)
+        return jnp.sum(jnp.log(m) + spec[lo:hi] / m, axis=-1)
+
+    for lo, hi, seg in segments:
+        if lo > pos:
+            total = total + quiet(pos, lo)
+        m = jnp.maximum(seg + bg_fn(lo, hi), 1e-12)
+        total = total + jnp.sum(jnp.log(m) + spec[lo:hi] / m, axis=-1)
+        pos = hi
+    if pos < N:
+        total = total + quiet(pos, N)
+    return -total
+
+
 _REGISTRY = {
     "chi22p": likelihood_chi22p,
     "chi(2,2p)": likelihood_chi22p,      # reference spelling variant [U]

@@ -397,3 +397,52 @@ class TestPartitionedSegments:
             nu, H, C, W, B, segs))(hb, cb, wb, bb)
         assert outs.shape == (2, 1024)
         assert np.all(np.isfinite(np.asarray(outs)))
+
+
+class TestPiecewiseChi22p:
+    """likelihood_chi22p_pieces + the Problem fused path: identical to the
+    dense model+likelihood composition up to f32 reassociation, for values
+    AND gradients (sampler/problem.py _logL_from_full)."""
+
+    def _problem(self):
+        from tamcmc_tpu.demos import make_demo
+        problem, hp, plan, meta = make_demo("ms_global", seed=0, ngrid=4000,
+                                            n_orders=4)
+        return problem
+
+    def test_fused_path_matches_dense(self):
+        from tamcmc_tpu.stats.likelihoods import likelihood_chi22p
+        problem = self._problem()
+        assert problem._pieces_hook is not None
+        x0 = problem.extract(problem.params0)
+        rng = np.random.default_rng(1)
+        xs = jnp.asarray(np.asarray(x0)[None, :]
+                         * (1 + 1e-3 * rng.standard_normal((4, x0.shape[0])))
+                         .astype(np.float32))
+
+        def dense_logL(x):
+            full = problem.embed(x)
+            return likelihood_chi22p(problem.spec,
+                                     problem.model_fn(full, problem.nu))
+
+        a = np.asarray(jax.jit(jax.vmap(problem._logL_only))(xs))
+        b = np.asarray(jax.jit(jax.vmap(dense_logL))(xs))
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+        ga = np.asarray(jax.jit(jax.vmap(jax.grad(problem._logL_only)))(xs))
+        gb = np.asarray(jax.jit(jax.vmap(jax.grad(dense_logL)))(xs))
+        np.testing.assert_allclose(ga, gb, rtol=5e-3, atol=1e-4)
+
+    def test_pieces_cover_every_bin_exactly_once(self):
+        problem = self._problem()
+        segs, bg_fn = problem._pieces_hook(problem.params0, problem.nu)
+        N = int(problem.nu.shape[0])
+        pos = 0
+        covered = 0
+        for lo, hi, seg in segs:
+            assert lo >= pos and hi > lo
+            assert seg.shape == (hi - lo,)
+            covered += hi - lo
+            pos = hi
+        assert pos <= N and covered > 0
+        # background evaluator returns the requested slice shape
+        assert bg_fn(0, 7).shape == (7,)
