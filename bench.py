@@ -40,14 +40,14 @@ def main():
 
     log("building demo problem")
     problem, hp, plan, meta = make_demo("ms_global", seed=0)
-    # Walker count: C=64 measured best on TPU v5e.  A full-bench A/B on
-    # 2026-08-20 gave 665 ESS/s at C=64 (5.5 ms/step) vs 595 ESS/s at
-    # C=128 (11.8 ms/step): ESS doubles with walkers but so does step
-    # latency — the chip is already saturated at C=64 for config-3 shapes.
-    # (A standalone sweep taken during a degraded-tunnel window suggested
-    # near-flat latency to C=128; the healthy-chip full-bench A/B is the
-    # authoritative measurement.)
-    T, C = meta["n_temps"], 64
+    # Walker count: C=128 measured best on TPU v5e with the round-3 hot
+    # path.  Full-bench sweep 2026-08-21 (segment-concat + piece-wise
+    # likelihood): C=64 -> 943.6 ESS/s (3.76 ms/step), C=128 -> 1067.8
+    # (6.59 ms/step), C=256 -> 1061.9 (13.3 ms/step): step latency scales
+    # sublinearly to C=128 (x1.75 for x2 walkers) then linearly — the
+    # knee moved up from round 2's C=64 (665 vs 595 at C=128 with the
+    # 5.5 ms step) because the cheaper step re-exposed fixed overheads.
+    T, C = meta["n_temps"], int(os.environ.get("TAMCMC_BENCH_WALKERS", "128"))
     betas = make_beta_ladder(T, hp.lambda_temp)
     key = jax.random.PRNGKey(0)
     key, sub = jax.random.split(key)
@@ -108,15 +108,35 @@ def main():
     logs_step = logs_fwd_walker * W
     achieved_gflops = (flops_step + divs_step + logs_step) \
         * steps_per_s / 1e9
-    # Op-mix speed-of-light from carefully measured per-op rates on THIS
-    # chip (work-scaled, host-fetch-synced microbenchmarks, 2026-08-20:
-    # f32 FMA-mix ~6.4e12 flop/s, f32 divide ~0.44e12 /s, transcendental
-    # ~0.2e12 /s — see BASELINE.md "step anatomy"); the in-run FMA
-    # microbench below is retained as a cross-check but the tunnel makes it
-    # noisy on bad days.
+    # LEGACY op-mix speed-of-light (kept for r01/r02 continuity): per-op
+    # rates measured 2026-08-20 (f32 FMA-mix ~6.4e12 flop/s, f32 divide
+    # ~0.44e12 /s, transcendental ~0.2e12 /s).  Round-3 measurements
+    # SUPERSEDED the divide rate: in fused XLA elementwise code an A/B with
+    # the divide replaced by a multiply is time-NEUTRAL (the reciprocal
+    # lowers into the same issue stream), so this figure now UNDERSTATES
+    # the chip and the fraction below correspondingly flatters the step.
     sol_s_per_step = (flops_step / 6.4e12 + divs_step / 0.44e12
                       + logs_step / 0.2e12)
     sol_frac = sol_s_per_step / (1.0 / steps_per_s)
+
+    # Round-3 recalibrated roofline — VPU instruction ISSUE rate.
+    # Measured this session (BASELINE.md "round-3 roofline recalibration"):
+    #  * 8 INDEPENDENT fma streams on (512,128) f32 sustain 7.7e12 flop/s
+    #    == 3.94e12 vector ops/s (4 ops/lane/cycle x 1024 lanes x 0.94 GHz);
+    #    the serial fma_chain cross-check below is latency-bound (~0.33e12)
+    #    and stays self-flagging;
+    #  * divides/reciprocals cost ~ordinary issue slots, not a separate
+    #    slow pipe (divide->multiply substitution: time-neutral).
+    # Instruction model of the current kernels, per (component, bin):
+    # fwd ~7 (fma x, fma v, hw-recip + newton ~3, fma accumulate, mask);
+    # bwd ~14 (recompute + 5 shared-temp reduction streams); likelihood
+    # ~24 issue ops per (bin, walker) fwd+bwd combined, + 1 log (rate
+    # 0.2e12/s).  This is the honest ceiling: beating it needs fewer ops
+    # (algorithmic) or >4-issue (hardware), not better scheduling.
+    OPS_ISSUE_PEAK = 3.94e12
+    ops_step = (7 + 14) * comp_bins * W + 24 * N * W
+    issue_sol_s = ops_step / OPS_ISSUE_PEAK + logs_step / 0.2e12
+    issue_frac = issue_sol_s / (1.0 / steps_per_s)
 
     # Empirical VPU f32 peak on THIS chip: a fused-multiply-add chain with
     # high arithmetic intensity (UNROLL chained FMAs per element per loop
@@ -295,6 +315,8 @@ def main():
             "achieved_gflops_f32": round(achieved_gflops, 1),
             "op_mix_speed_of_light_ms": round(sol_s_per_step * 1e3, 3),
             "frac_of_op_mix_sol": round(sol_frac, 3),
+            "issue_speed_of_light_ms": round(issue_sol_s * 1e3, 3),
+            "frac_of_issue_sol": round(issue_frac, 3),
             "comp_bins_per_walker": int(comp_bins),
             "window_reduction": round(K * N / comp_bins, 2),
             "vpu_fma_peak_gflops_measured": round(vpu_peak_gflops, 1),
