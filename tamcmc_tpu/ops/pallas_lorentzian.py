@@ -32,6 +32,21 @@ kernel is therefore OPT-IN: set TAMCMC_PALLAS_LORENTZ=1 to enable.  It is
 kept (with correctness tests vs the jnp path) as the starting point for
 revisiting when Mosaic's dynamic-bound loop overhead improves, or for
 problems with far sparser windows.
+
+Round-3 addendum (2026-08-21): a second, fully fused packed-segment
+model+likelihood kernel was prototyped (walkers on lanes, 8-row comp
+blocks with dynamic per-tile ranges via scalar prefetch, hardware
+`pl.reciprocal` + one Newton step; TB 128-1024 sweep, comp-block unroll
+8/16, broadcast hoisting, pairwise-reciprocal variants).  Best: ~95 G
+comp-bins/s — below XLA's 90-138 G on identical work.  Root cause
+measured directly: Mosaic-generated elementwise code issues ~1 vector
+op/cycle on this toolchain (a raw in-kernel fma fori_loop sustains ~9 G
+elem-ops/s) while XLA's own fusions reach ~4 ops/cycle (7.7 TFLOP/s with
+8 independent fma streams).  The windowing advantage this kernel was
+built for is now captured at the XLA level by the static segment
+partition (ops/lorentzian.py partition_window_groups +
+likelihood_chi22p_pieces), so there is no remaining structural edge for
+a hand kernel to claim until Mosaic's issue rate improves.
 """
 
 from __future__ import annotations

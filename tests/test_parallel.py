@@ -72,6 +72,40 @@ class TestShardedEquivalence:
         np.testing.assert_allclose(np.asarray(s_local.nswap_att),
                                    np.asarray(s_shard.nswap_att), atol=0)
 
+    def test_sharded_matches_local_windowed_pieces(self, eight_devices):
+        """The piece-wise chi22p hot path (window-partitioned ms_global:
+        disjoint-segment mode sums + per-piece background, quiet-bin sums
+        replicated when unbatched) must survive GSPMD partitioning — the
+        std_gaussian/single_lorentzian equivalence tests never reach it."""
+        import dataclasses
+        from tamcmc_tpu.demos import make_demo
+        problem, hp0, plan, meta = make_demo("ms_global", seed=0, ngrid=3000,
+                                             n_orders=3)
+        assert problem._pieces_hook is not None
+        hp = dataclasses.replace(hp0, dN_mixing=3)
+        T, C = 4, 8
+        betas = make_beta_ladder(T, hp.lambda_temp)
+        state = init_state(problem, hp, T, C, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(7)
+
+        local = make_phase_runner(problem, hp, betas, adapt=True, thin=2,
+                                  n_emit=5)
+        s_local, out_local = local(state, key)
+
+        mesh = make_sampler_mesh(4, 2)
+        state2 = init_state(problem, hp, T, C, jax.random.PRNGKey(0))
+        sharded = make_sharded_phase_runner(problem, hp, betas, mesh,
+                                            adapt=True, thin=2, n_emit=5)
+        s_shard, out_shard = sharded(shard_state(state2, mesh), key)
+
+        # logL is O(1e4); shard-boundary reduction reordering only
+        np.testing.assert_allclose(np.asarray(out_local["logL"]),
+                                   np.asarray(out_shard["logL"]),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(np.asarray(s_local.theta),
+                                   np.asarray(s_shard.theta),
+                                   rtol=2e-3, atol=2e-3)
+
     def test_swaps_cross_device_boundaries(self, eight_devices):
         """Rungs live on different devices; swap bookkeeping must still see
         attempts on every adjacent pair."""
