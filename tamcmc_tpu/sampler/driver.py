@@ -125,6 +125,14 @@ def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
     # the full chunk size (slight overshoot beats recompiling — XLA compiles
     # are the expensive resource on the TPU tunnel, not extra iterations).
     chunk = min(chunk, n_emit_total)
+    overshoot = (-n_emit_total) % chunk
+    if overshoot:
+        n_emit_total += overshoot
+        import sys
+        print(f"note: requested {n_steps} steps rounds up to "
+              f"{n_emit_total * thin} ({n_emit_total} emitted records, "
+              f"chunk={chunk}); the extra {overshoot * thin} steps enter "
+              "the returned posterior", file=sys.stderr)
     if already_emitted % chunk != 0:
         raise ValueError(f"already_emitted={already_emitted} is not a "
                          f"multiple of chunk={chunk}; resume would desync "

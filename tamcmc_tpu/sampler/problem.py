@@ -120,7 +120,15 @@ class Problem:
         f32 reassociation; measured win: the concatenated spectrum is never
         written/re-read, and quiet-bin partial sums stay unbatched under
         vmap whenever the noise block is fully fixed."""
-        if (self.likelihood in ("chi22p", "chi(2,2p)") and self.mask is None):
+        # derive the chi22p check from the registry instead of duplicating
+        # its alias list (a later alias would otherwise silently disable
+        # this fused path — perf regression, not correctness)
+        from tamcmc_tpu.stats.likelihoods import likelihood_chi22p
+        try:
+            is_chi22p = get_likelihood(self.likelihood) is likelihood_chi22p
+        except KeyError:
+            is_chi22p = False
+        if is_chi22p and self.mask is None:
             return getattr(self.model_fn, "_segments_and_bg", None)
         return None
 

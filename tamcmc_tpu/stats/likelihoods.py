@@ -66,6 +66,15 @@ def likelihood_chi22p_pieces(spec, segments, bg_fn):
         return jnp.sum(jnp.log(m) + spec[lo:hi] / m, axis=-1)
 
     for lo, hi, seg in segments:
+        # host-side invariant check (the bounds are static python ints):
+        # raw OVERLAPPING groups from make_static_window_groups would
+        # double-count overlap bins and miscount quiet gaps here — callers
+        # must pass the disjoint sorted partition (partition_window_groups)
+        if lo < pos or hi > N:
+            raise ValueError(
+                f"segment [{lo}, {hi}) violates the sorted-disjoint "
+                f"partition invariant (previous end {pos}, grid size {N}); "
+                "pass partition_window_groups output, not raw window groups")
         if lo > pos:
             total = total + quiet(pos, lo)
         m = jnp.maximum(seg + bg_fn(lo, hi), 1e-12)

@@ -446,3 +446,24 @@ class TestPiecewiseChi22p:
         assert pos <= N and covered > 0
         # background evaluator returns the requested slice shape
         assert bg_fn(0, 7).shape == (7,)
+
+
+class TestPiecesInvariantCheck:
+    def test_overlapping_segments_rejected(self):
+        """likelihood_chi22p_pieces refuses raw OVERLAPPING window groups
+        (round-3 advisor): only the disjoint sorted partition from
+        partition_window_groups is a valid input — overlap would silently
+        double-count bins."""
+        from tamcmc_tpu.stats.likelihoods import likelihood_chi22p_pieces
+        spec = jnp.ones(100)
+        bg = lambda lo, hi: jnp.ones(hi - lo)
+        segs = [(0, 30, jnp.ones(30)), (20, 50, jnp.ones(30))]  # overlap
+        with pytest.raises(ValueError, match="partition invariant"):
+            likelihood_chi22p_pieces(spec, segs, bg)
+
+    def test_out_of_range_segment_rejected(self):
+        from tamcmc_tpu.stats.likelihoods import likelihood_chi22p_pieces
+        spec = jnp.ones(100)
+        bg = lambda lo, hi: jnp.ones(hi - lo)
+        with pytest.raises(ValueError, match="partition invariant"):
+            likelihood_chi22p_pieces(spec, [(90, 120, jnp.ones(30))], bg)

@@ -211,3 +211,28 @@ class TestSigmaEstimatorSwitch:
                          n_steps=3000, adapt=True, thin=10, chunk=100)
         acc = float(np.asarray(s.acc_rate).mean())
         assert abs(acc - hp.resolved_target()) < 0.12, acc
+
+
+class TestPhaseOvershoot:
+    def test_overshoot_logged_and_counted(self, capsys):
+        """run_phase rounds a final partial chunk up to a full chunk; the
+        overshoot must be LOGGED (round-3 VERDICT weak #6: `--acquire 2100
+        --thin 10` silently emitted 400 records / 4000 raw steps)."""
+        p = std_gaussian(2)
+        hp = HP_RW
+        betas, s = make(p, hp, T=2, C=2, seed=0)
+        # 210 steps / thin 10 = 21 emits; chunk 20 -> rounds up to 40 emits
+        s, outs = run_phase(p, hp, betas, s, jax.random.PRNGKey(1),
+                            n_steps=210, adapt=False, thin=10, chunk=20)
+        err = capsys.readouterr().err
+        assert "rounds up to 400" in err
+        assert outs["theta0"].shape[0] == 40
+
+    def test_exact_multiple_not_logged(self, capsys):
+        p = std_gaussian(2)
+        hp = HP_RW
+        betas, s = make(p, hp, T=2, C=2, seed=0)
+        s, outs = run_phase(p, hp, betas, s, jax.random.PRNGKey(1),
+                            n_steps=200, adapt=False, thin=10, chunk=10)
+        assert "rounds up" not in capsys.readouterr().err
+        assert outs["theta0"].shape[0] == 20
