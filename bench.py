@@ -79,6 +79,12 @@ def main():
         state, outs = acq(state, sub)
         chunks.append(outs["theta0"])
     jax.block_until_ready(state.theta)
+    # belt-and-braces sync: block_until_ready does not reliably wait over
+    # the axon tunnel for SMALL programs (round-4 measurement lesson in
+    # BASELINE.md); at this scale (~20 s of queued scans) the dispatch
+    # queue makes it approximately right, and the scalar fetch (~60 ms,
+    # 0.3%) closes the gap exactly
+    float(np.asarray(state.logL)[0, 0])
     dt = time.time() - t1
     log(f"timed acquire done in {dt:.1f}s")
     theta = np.concatenate([np.asarray(c) for c in chunks], axis=0)  # (E,C,Df)
@@ -142,26 +148,45 @@ def main():
     # (tunnel stalls only ever ADD time).
     log("measuring VPU issue peak (8 independent fma streams)")
     OPS_ISSUE_PEAK_REF = 3.94e12       # 2026-08-21 session cross-check value
-    n_streams, ishape, iiters, iunroll = 8, (512, 128), 64, 8
-    xs0 = tuple(jnp.full(ishape, 1.000001 + 1e-8 * i, jnp.float32)
+    # Methodology notes (each clause learned from a measured failure):
+    #  * the map must be NON-AFFINE (x*x + c): XLA algebraically collapses
+    #    repeated affine chains x*c+d — a first cut read 450e12 "ops/s";
+    #  * neither jax.block_until_ready(tuple) nor .block_until_ready() on
+    #    the axon tunnel actually waits for THIS computation (0.1-0.4 ms
+    #    returns on 20 ms kernels) — only a host FETCH truly syncs;
+    #  * a single fetch costs ~60 ms over the tunnel, so the rate comes
+    #    from a TWO-POINT fit: k=1 vs k=9 chained executions with one
+    #    scalar fetch each — the fetch/dispatch overhead cancels in the
+    #    difference.  Best of 3 trials (stalls only ever slow a trial).
+    n_streams, ishape, iiters, iunroll = 8, (512, 128), 4096, 32
+    xs0 = tuple(jnp.full(ishape, 0.3 + 1e-3 * i, jnp.float32)
                 for i in range(n_streams))
 
     @jax.jit
     def issue_bench(xs):
         def body(i, xs):
             for _ in range(iunroll):
-                xs = tuple(x * 1.0000001 + 1e-9 for x in xs)
+                xs = tuple(x * x + 0.24 for x in xs)   # bounded: -> 0.4
             return xs
         return jax.lax.fori_loop(0, iiters, body, xs)
 
-    jax.block_until_ready(issue_bench(xs0))
-    idts = []
-    for _ in range(6):
+    def _run_k(k):
+        xs = xs0
         t = time.time()
-        jax.block_until_ready(issue_bench(xs0))
-        idts.append(time.time() - t)
+        for _ in range(k):
+            xs = issue_bench(xs)
+        float(np.asarray(xs[0])[0, 0])                 # true sync
+        return time.time() - t
+
+    _run_k(1)                                          # compile + warm
     issue_elems = n_streams * ishape[0] * ishape[1] * iiters * iunroll
-    ops_issue_peak_measured = issue_elems / min(idts)    # 1 fma = 1 issue op
+    rates = []
+    for _ in range(3):
+        t1 = min(_run_k(1) for _ in range(3))
+        t9 = min(_run_k(9) for _ in range(2))
+        if t9 > t1:
+            rates.append(8 * issue_elems / (t9 - t1))  # 1 fma = 1 issue op
+    ops_issue_peak_measured = max(rates) if rates else 0.0
     ops_step = (7 + 14) * comp_bins * W + 24 * N * W
     achieved_issue_ops = ops_step * steps_per_s
     # a peak below the step's own achieved issue rate is physically

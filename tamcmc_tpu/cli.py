@@ -280,12 +280,42 @@ def cmd_run(args):
         if is_writer_proc:
             save_checkpoint(str(ckpt), s, k, phase=phase, meta=meta_d)
 
+    # --- periodic in-run diagnostics (--report-every; SURVEY "end-of-phase
+    # AND periodic" plots) — a rolling host buffer of recent chunks feeds
+    # the same artifact set into <outdir>/inrun/, refreshed in place so a
+    # killed mid-Learning run still leaves current plots.
+    report_every = getattr(args, "report_every", 0) or 0
+    _report_buf, _report_chunks = [], [0]
+    _REPORT_BUF_CAP = 100          # chunks kept for traces (bounded memory)
+    _model_jit = [None]
+
+    def _write_inrun_report(phase_name):
+        from tamcmc_tpu.diagnostics.report import write_report
+        inrun = outdir / "inrun"
+        stacked = {k: np.concatenate([c[k] for c in _report_buf], axis=0)
+                   for k in _report_buf[0]}
+        model_cur = None
+        th = stacked["theta0"]
+        if hasattr(problem, "nu"):
+            if _model_jit[0] is None:
+                _model_jit[0] = jax.jit(
+                    lambda x: problem.model_fn(problem.embed(x), problem.nu))
+            med = jnp.asarray(np.median(th.reshape(-1, th.shape[-1]), axis=0),
+                              jnp.float32)
+            model_cur = np.asarray(_model_jit[0](med))
+        made = write_report(inrun, {phase_name: stacked}, problem=problem,
+                            names=problem.free_names,
+                            model_at_median=model_cur)
+        metrics.log("inrun_report", phase=phase_name,
+                    chunks_seen=_report_chunks[0], artifacts=len(made))
+
     results = {}
     t0 = time.time()
     profiling = getattr(args, "profile", False)
     for name, n_steps, adapt in plan.phases():
         if n_steps <= 0 or name in done_phases:
             continue
+        _report_buf.clear()        # traces must not span phase boundaries
         already = 0
         if name == mid_phase:
             already, sub = mid_emitted, mid_key
@@ -307,6 +337,12 @@ def cmd_run(args):
                 if bad:
                     metrics.log("debug_nonfinite", phase=_n, **bad)
                     print(f"[debug] non-finite values in chunk: {bad}")
+            if report_every and is_writer_proc:
+                _report_buf.append({k: np.asarray(v) for k, v in o.items()})
+                del _report_buf[:-_REPORT_BUF_CAP]
+                _report_chunks[0] += 1
+                if _report_chunks[0] % report_every == 0:
+                    _write_inrun_report(_n)
 
         _chunk_no = [0]
 
@@ -326,7 +362,8 @@ def cmd_run(args):
                     problem, hp, betas, state, sub, n_steps, adapt=adapt,
                     thin=plan.thin, chunk=plan.chunk,
                     on_chunk=_on_chunk, on_state=_on_state, mesh=mesh,
-                    already_emitted=already)
+                    already_emitted=already,
+                    runner_kind=getattr(args, "runner", "gspmd"))
         except BaseException:
             writer.abort()      # drain buffers, no .hdr — resumable state
             raise
@@ -794,6 +831,14 @@ def main(argv=None):
                     help="shard the run over a TEMPSxCHAINS device mesh, "
                          "e.g. 4x2 (SURVEY 5.8 scale-out: tempering swaps "
                          "become neighbour collectives on the temp axis)")
+    pr.add_argument("--runner", choices=("gspmd", "shardmap"),
+                    default="gspmd",
+                    help="sharded execution strategy: 'gspmd' jits the "
+                         "batched step with sharding annotations (XLA "
+                         "chooses collectives); 'shardmap' is the explicit "
+                         "per-shard implementation with hand-placed "
+                         "ppermute/pmean collectives and mesh-invariant "
+                         "RNG (parallel/shardmap_runner.py)")
     pr.add_argument("--distributed", action="store_true",
                     help="multi-host: initialise jax.distributed from "
                          "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
@@ -803,6 +848,13 @@ def main(argv=None):
                     help="intra-phase checkpoint cadence in chunks (0 = "
                          "phase boundaries only); a killed run resumes "
                          "bitwise from the last chunk checkpoint")
+    pr.add_argument("--report-every", type=int, dest="report_every", default=0,
+                    help="periodic IN-RUN diagnostics cadence in chunks "
+                         "(0 = end-of-run only): refreshes the artifact set "
+                         "(spectrum+current-median model, traces, "
+                         "acceptance) under <outdir>/inrun/ so a killed "
+                         "month-long fit still leaves plots (reference "
+                         "diagnostics.cpp periodic plots [U])")
     pr.add_argument("--max-rows", type=int, default=40)
     pr.set_defaults(fn=cmd_run)
 

@@ -41,12 +41,29 @@ Performance design (measured on TPU v5e, see git history):
   kernel wasted on it.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 _CHUNK = 64   # components per unrolled chunk; bounds live (chunk, N) temps
 
 _WFLOOR = 1e-6
+
+# --- measured-lever switches (round-2 VERDICT item 2 prescriptions, A/B'd
+# in round 4 — tools/ab_step.py; results in BASELINE.md) ---
+# TAMCMC_VJP_STORE_INV=1: save the forward's per-chunk inv=(1+x^2)^-1 as a
+# VJP residual instead of recomputing it in the backward.  Roofline
+# prediction: a LOSS on TPU — the stored (comp, N)-batched residual costs a
+# full HBM round trip (~2x 4B/comp-bin) where the recompute costs ~5 issue
+# ops/comp-bin (~6x cheaper at the measured issue rate vs bandwidth).
+_STORE_INV = os.environ.get("TAMCMC_VJP_STORE_INV", "") == "1"
+# TAMCMC_LORENTZ_BF16=1: do the per-(comp, bin) profile arithmetic in
+# bfloat16 with f32 accumulation.  x is computed in f32 FIRST (the grid
+# offset nu - c needs ~1e-5 relative precision at uHz scales; bf16's 8-bit
+# mantissa would quantise mode positions by ~0.4%) and only the
+# inv/multiply stream is bf16.
+_BF16 = os.environ.get("TAMCMC_LORENTZ_BF16", "") == "1"
 
 
 def lorentzian_profile(nu, height, nu0, width, asym=0.0):
@@ -61,20 +78,32 @@ def lorentzian_profile(nu, height, nu0, width, asym=0.0):
     return height * num / (1.0 + x * x)
 
 
-def _fwd_impl(nu, heights, nu0s, widths, asyms):
+def _fwd_impl(nu, heights, nu0s, widths, asyms, keep_inv=False):
     w = jnp.maximum(widths, _WFLOOR)
     iw = 2.0 / w
     hb2 = 2.0 * heights * asyms
     ncomp = heights.shape[0]
     # frequency-independent continuum of the asymmetric terms: sum_k H_k b_k^2
     out = jnp.broadcast_to(jnp.sum(heights * asyms * asyms), nu.shape)
+    invs = []
     for s in range(0, ncomp, _CHUNK):
         e = min(s + _CHUNK, ncomp)
         x = (nu[None, :] - nu0s[s:e, None]) * iw[s:e, None]   # (chunk, N)
-        inv = 1.0 / (1.0 + x * x)
-        out = out + jnp.sum(
-            (heights[s:e, None] + hb2[s:e, None] * x) * inv, axis=0)
-    return out
+        if _BF16:
+            # x stays f32 (position precision); the inv/product stream is
+            # bf16; the cross-component accumulation is f32
+            xb = x.astype(jnp.bfloat16)
+            inv = jnp.bfloat16(1.0) / (jnp.bfloat16(1.0) + xb * xb)
+            contrib = (heights[s:e, None].astype(jnp.bfloat16)
+                       + hb2[s:e, None].astype(jnp.bfloat16) * xb) * inv
+            out = out + jnp.sum(contrib, axis=0, dtype=jnp.float32)
+        else:
+            inv = 1.0 / (1.0 + x * x)
+            out = out + jnp.sum(
+                (heights[s:e, None] + hb2[s:e, None] * x) * inv, axis=0)
+        if keep_inv:
+            invs.append(inv)
+    return (out, invs) if keep_inv else out
 
 
 @jax.custom_vjp
@@ -89,8 +118,11 @@ def sum_lorentzians(nu, heights, nu0s, widths, asyms):
 
 
 def _fwd(nu, heights, nu0s, widths, asyms):
+    if _STORE_INV:
+        out, invs = _fwd_impl(nu, heights, nu0s, widths, asyms, keep_inv=True)
+        return out, (nu, heights, nu0s, widths, asyms, invs)
     return _fwd_impl(nu, heights, nu0s, widths, asyms), \
-        (nu, heights, nu0s, widths, asyms)
+        (nu, heights, nu0s, widths, asyms, None)
 
 
 def _bwd(res, g):
@@ -102,19 +134,26 @@ def _bwd(res, g):
       dx/dc = −2/w,  dx/dw = −x/w.
     G = Σ g is shared by every component's dL/dH, dL/db constant parts.
     """
-    nu, heights, nu0s, widths, asyms = res
+    nu, heights, nu0s, widths, asyms, invs = res
     w = jnp.maximum(widths, _WFLOOR)
     iw = 2.0 / w
     G = jnp.sum(g)
     ncomp = heights.shape[0]
     ghs, gcs, gws, gbs = [], [], [], []
-    for sidx in range(0, ncomp, _CHUNK):
+    for ci, sidx in enumerate(range(0, ncomp, _CHUNK)):
         e = min(sidx + _CHUNK, ncomp)
         hh = heights[sidx:e, None]
         bb = asyms[sidx:e, None]
         hb2 = 2.0 * hh * bb
         x = (nu[None, :] - nu0s[sidx:e, None]) * iw[sidx:e, None]
-        inv = 1.0 / (1.0 + x * x)
+        if invs is not None:
+            inv = invs[ci].astype(x.dtype)      # stored residual (A/B b)
+        elif _BF16:
+            xb = x.astype(jnp.bfloat16)
+            inv = (jnp.bfloat16(1.0)
+                   / (jnp.bfloat16(1.0) + xb * xb)).astype(x.dtype)
+        else:
+            inv = 1.0 / (1.0 + x * x)
         u = g[None, :] * inv
         p = x * u
         q = p * inv

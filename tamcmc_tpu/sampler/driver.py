@@ -99,7 +99,7 @@ def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
 def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
               chunk=200, on_chunk: Optional[Callable] = None,
               on_state: Optional[Callable] = None, mesh=None,
-              already_emitted: int = 0):
+              already_emitted: int = 0, runner_kind: str = "gspmd"):
     """Run one phase; returns (state, dict of stacked host outputs).
 
     on_chunk(outputs_dict) is called with device arrays after each chunk
@@ -140,9 +140,17 @@ def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
     remaining = n_emit_total - already_emitted
     emitted = already_emitted
     if mesh is not None:
-        from tamcmc_tpu.parallel.sharded import make_sharded_phase_runner
-        runner = make_sharded_phase_runner(problem, hp, betas, mesh, adapt,
-                                           thin, chunk)
+        if runner_kind == "shardmap":
+            # explicit-collective fallback (parallel/shardmap_runner.py):
+            # same math, ppermute/pmean spelled out, mesh-invariant RNG
+            from tamcmc_tpu.parallel.shardmap_runner import \
+                make_shardmap_phase_runner
+            runner = make_shardmap_phase_runner(problem, hp, betas, mesh,
+                                                adapt, thin, chunk)
+        else:
+            from tamcmc_tpu.parallel.sharded import make_sharded_phase_runner
+            runner = make_sharded_phase_runner(problem, hp, betas, mesh,
+                                               adapt, thin, chunk)
     else:
         runner = make_phase_runner(problem, hp, betas, adapt, thin, chunk)
     while remaining > 0:

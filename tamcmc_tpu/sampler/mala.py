@@ -144,15 +144,27 @@ def default_init_scales(problem) -> np.ndarray:
 
 
 def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
-              key, adapt: bool = True):
+              key, adapt: bool = True, draws=None, axis_reduce=None):
     """One batched MALA(+adaptation) step for all (T, C) walkers.
 
     betas: (T,) inverse temperatures.  `adapt` is a static flag (phases
     compile separate variants — the reference freezes adaptation in the
     Acquire phase the same way).
+
+    draws: optional (xi (T,C,Df) normal, u_acc (T,C) uniform) supplied by
+    the caller instead of drawing from `key` — the explicit shard_map
+    runner (parallel/shardmap_runner.py) draws with a MESH-INVARIANT
+    per-walker key protocol so trajectories are bitwise mesh-shape-
+    independent.  axis_reduce: optional fn(x, axis) replacing the
+    cross-walker jnp.mean in the ensemble covariance estimator and the
+    acceptance bookkeeping (a local-mean + pmean under shard_map).
     """
     T, C, Df = state.theta.shape
-    k_prop, k_acc = jax.random.split(key)
+    if draws is None:
+        k_prop, k_acc = jax.random.split(key)
+    cmean = axis_reduce if axis_reduce is not None else \
+        (lambda x, axis, keepdims=False:
+         jnp.mean(x, axis=axis, keepdims=keepdims))
     sigma = jnp.exp(state.log_sigma)                       # (T, C)
     s2 = (sigma**2)[..., None]                              # (T, C, 1)
     b = betas[:, None]                                      # (T, 1)
@@ -165,7 +177,8 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
         mean_fwd = state.theta + 0.5 * s2 * Sd
     else:
         mean_fwd = state.theta
-    xi = jax.random.normal(k_prop, (T, C, Df), dtype=state.theta.dtype)
+    xi = (jax.random.normal(k_prop, (T, C, Df), dtype=state.theta.dtype)
+          if draws is None else draws[0])
     prop = mean_fwd + sigma[..., None] * jnp.einsum(
         "tcij,tcj->tci", state.chol, xi)
 
@@ -198,7 +211,9 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
 
     # --- Metropolis-Hastings accept ---
     dlog = (b * (logLp - state.logL) + (logPp - state.logP) + q_corr)
-    log_u = jnp.log(jax.random.uniform(k_acc, (T, C), dtype=dlog.dtype) + 1e-38)
+    u_acc = (jax.random.uniform(k_acc, (T, C), dtype=dlog.dtype)
+             if draws is None else draws[1])
+    log_u = jnp.log(u_acc + 1e-38)
     accept = log_u < dlog                                   # (T, C)
     accf = accept.astype(state.theta.dtype)
     acc3 = accf[..., None]
@@ -220,11 +235,11 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
             # pooled cross-walker moments per temperature: with C walkers in
             # the typical set this estimates the posterior covariance at
             # O(1/C) variance PER STEP — no trajectory-shrinkage feedback
-            mean_c = jnp.mean(theta, axis=1, keepdims=True)   # (T, 1, Df)
+            mean_c = cmean(theta, 1, keepdims=True)           # (T, 1, Df)
             mu = state.mu + gamma * (mean_c - state.mu)       # bcast (T,C,Df)
             dev = theta - mu
-            emp = jnp.mean(dev[..., :, None] * dev[..., None, :],
-                           axis=1, keepdims=True)             # (T, 1, Df, Df)
+            emp = cmean(dev[..., :, None] * dev[..., None, :],
+                        1, keepdims=True)                     # (T, 1, Df, Df)
             cov = state.cov + gamma * (emp - state.cov)
         else:
             # per-walker expanding-window moments (Haario-style 1/k gain:
@@ -270,7 +285,7 @@ def mala_step(problem: Problem, hp: MALAHyper, betas, state: SamplerState,
     return SamplerState(
         theta=theta, logL=logL, logP=logP, gradL=gradL, gradP=gradP,
         mu=mu, cov=cov, chol=chol, ichol=ichol, log_sigma=log_sigma, step=step,
-        naccept=state.naccept + jnp.mean(accf, axis=1),
+        naccept=state.naccept + cmean(accf, 1),
         nprop=state.nprop + 1.0,
         acc_rate=acc_rate,
         nswap_att=state.nswap_att, nswap_acc=state.nswap_acc,

@@ -37,11 +37,13 @@ def _partners(n_temps: int, parity: int) -> np.ndarray:
     return p
 
 
-def tempering_swap(betas, state: SamplerState, key, parity):
+def tempering_swap(betas, state: SamplerState, key, parity, u=None):
     """One parity sweep of adjacent-pair swaps, batched over walkers.
 
     parity: traced int32 (0/1) — both partner tables are baked in and
     selected with `where`, keeping the step jit-static.
+    u: optional (T, C) uniforms supplied by the caller (the shard_map
+    runner's mesh-invariant draw protocol) instead of drawing from `key`.
     """
     T, C, _ = state.theta.shape
     if T < 2:
@@ -54,7 +56,8 @@ def tempering_swap(betas, state: SamplerState, key, parity):
     # pair acceptance: Delta = (beta_lo - beta_hi)(logL_hi - logL_lo);
     # computed symmetrically — same value seen from both members of a pair.
     delta = (betas[:, None] - betas[partner][:, None]) * (logL_p - state.logL)
-    u = jax.random.uniform(key, (T, C))
+    if u is None:
+        u = jax.random.uniform(key, (T, C))
     # share one uniform per pair: take the value from the lower rung index
     low = jnp.minimum(jnp.arange(T), partner)
     u_pair = u[low]

@@ -57,3 +57,16 @@ for tshard, cshard in ((8, 1), (4, 2), (2, 4)):
     st = shard_state(init_state(problem, hp, T, C, sub), mesh)
     sps = time_runner(runner, st, f"mesh {tshard}x{cshard}")
     print(f"  -> sharded/local ratio: {sps / sps_local:.3f}")
+
+# Round-4 (VERDICT r3 #2b): explicit shard_map + ppermute fallback runner
+# (parallel/shardmap_runner.py) A/B'd against GSPMD at the same shapes.
+from tamcmc_tpu.parallel.shardmap_runner import make_shardmap_phase_runner
+
+for tshard, cshard in ((8, 1), (4, 2), (2, 4)):
+    mesh = make_sampler_mesh(tshard, cshard)
+    runner = make_shardmap_phase_runner(problem, hp, betas, mesh, True,
+                                        THIN, EMIT)
+    key, sub = jax.random.split(jax.random.PRNGKey(0))
+    st = shard_state(init_state(problem, hp, T, C, sub), mesh)
+    sps = time_runner(runner, st, f"shardmap {tshard}x{cshard}")
+    print(f"  -> shardmap/local ratio: {sps / sps_local:.3f}")
