@@ -38,6 +38,14 @@ def main():
     from tamcmc_tpu.sampler.driver import make_phase_runner
     from tamcmc_tpu.diagnostics.ess import effective_sample_size
 
+    # The bench measures the production-serving configuration: bf16
+    # profile stream (posterior-validated vs f32 on configs 1-3 —
+    # tools/validate_bf16.py, BASELINE.md round 4; +22% measured).
+    # TAMCMC_BENCH_PRECISION=f32 reverts for A/Bs.
+    precision = os.environ.get("TAMCMC_BENCH_PRECISION", "bf16")
+    from tamcmc_tpu.ops.lorentzian import set_profile_precision
+    set_profile_precision(precision)
+
     log("building demo problem")
     problem, hp, plan, meta = make_demo("ms_global", seed=0)
     # Walker count: C=128 measured best on TPU v5e with the round-3 hot
@@ -363,6 +371,7 @@ def main():
         "vs_baseline": round(ess_per_s / max(ref_ess_per_s, 1e-12), 1),
         "detail": {
             "device": str(jax.devices()[0]),
+            "precision": precision,
             "raw_steps_per_s": round(steps_per_s, 1),
             "walkers": int(Cc), "temps": int(T),
             "grid_bins": int(np.asarray(problem.nu).shape[0]),
@@ -384,7 +393,11 @@ def main():
             "issue_model_note": ("op counts assume fully batched quiet "
                                  "bins; exact when the noise block is "
                                  "free (bench config), optimistic ceiling "
-                                 "when noise is fixed"),
+                                 "when noise is fixed.  The model counts "
+                                 "F32-equivalent ops: under bf16 the "
+                                 "profile stream can pack 2/lane, so "
+                                 "frac_of_issue_sol may legitimately "
+                                 "exceed its f32 meaning"),
             "comp_bins_per_walker": int(comp_bins),
             "window_reduction": round(K * N / comp_bins, 2),
             "vpu_fma_peak_gflops_measured": round(vpu_peak_gflops, 1),

@@ -58,12 +58,32 @@ _WFLOOR = 1e-6
 # full HBM round trip (~2x 4B/comp-bin) where the recompute costs ~5 issue
 # ops/comp-bin (~6x cheaper at the measured issue rate vs bandwidth).
 _STORE_INV = os.environ.get("TAMCMC_VJP_STORE_INV", "") == "1"
-# TAMCMC_LORENTZ_BF16=1: do the per-(comp, bin) profile arithmetic in
-# bfloat16 with f32 accumulation.  x is computed in f32 FIRST (the grid
-# offset nu - c needs ~1e-5 relative precision at uHz scales; bf16's 8-bit
-# mantissa would quantise mode positions by ~0.4%) and only the
-# inv/multiply stream is bf16.
+# TAMCMC_LORENTZ_BF16=1 (or set_profile_precision("bf16")): do the
+# per-(comp, bin) profile arithmetic in bfloat16 with f32 accumulation.
+# x is computed in f32 FIRST (the grid offset nu - c needs ~1e-5 relative
+# precision at uHz scales; bf16's 8-bit mantissa would quantise mode
+# positions by ~0.4%) and only the inv/multiply stream is bf16.
+# MEASURED (2026-08-21, TPU v5e, bench config): 6.52 -> 5.33 ms/step
+# (+22% steps/s); posterior-validated vs f32 on BASELINE configs 1-3 with
+# the parity harness (tools/validate_bf16.py; record in BASELINE.md).
 _BF16 = os.environ.get("TAMCMC_LORENTZ_BF16", "") == "1"
+
+
+def set_profile_precision(precision: str):
+    """Select the Lorentzian profile-stream precision: "f32" (default) or
+    "bf16" (+22% measured step throughput, ~0.4%-quantised profile values,
+    posterior-validated — the user-facing switch behind
+    `tamcmc run --precision bf16`).
+
+    MUST be called before the first model build/trace: compiled programs
+    bake the precision in, and toggling afterwards would hit stale jit
+    caches.
+    """
+    global _BF16
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"precision must be 'f32' or 'bf16', "
+                         f"got {precision!r}")
+    _BF16 = precision == "bf16"
 
 
 def lorentzian_profile(nu, height, nu0, width, asym=0.0):
@@ -146,24 +166,43 @@ def _bwd(res, g):
         bb = asyms[sidx:e, None]
         hb2 = 2.0 * hh * bb
         x = (nu[None, :] - nu0s[sidx:e, None]) * iw[sidx:e, None]
-        if invs is not None:
-            inv = invs[ci].astype(x.dtype)      # stored residual (A/B b)
-        elif _BF16:
+        if _BF16:
+            # the whole backward stream runs in bf16 with f32 reductions:
+            # gradient cotangents only shape the PROPOSAL (drift mean) —
+            # the MH correction uses the same drift on both sides, so
+            # detailed balance holds exactly regardless of gradient
+            # precision; bf16 here costs mixing efficiency O(0.4%) and
+            # zero posterior bias
             xb = x.astype(jnp.bfloat16)
-            inv = (jnp.bfloat16(1.0)
-                   / (jnp.bfloat16(1.0) + xb * xb)).astype(x.dtype)
+            invb = jnp.bfloat16(1.0) / (jnp.bfloat16(1.0) + xb * xb)
+            if invs is not None:
+                invb = invs[ci].astype(jnp.bfloat16)
+            ub = g[None, :].astype(jnp.bfloat16) * invb
+            pb = xb * ub
+            qb = pb * invb
+            rb = xb * qb
+            sb = xb * rb
+            f32 = jnp.float32
+            Su = jnp.sum(ub, axis=1, keepdims=True, dtype=f32)
+            Sp = jnp.sum(pb, axis=1, keepdims=True, dtype=f32)
+            Sq = jnp.sum(qb, axis=1, keepdims=True, dtype=f32)
+            Sr = jnp.sum(rb, axis=1, keepdims=True, dtype=f32)
+            Ss = jnp.sum(sb, axis=1, keepdims=True, dtype=f32)
         else:
-            inv = 1.0 / (1.0 + x * x)
-        u = g[None, :] * inv
-        p = x * u
-        q = p * inv
-        r = x * q
-        s = x * r
-        Su = jnp.sum(u, axis=1, keepdims=True)
-        Sp = jnp.sum(p, axis=1, keepdims=True)
-        Sq = jnp.sum(q, axis=1, keepdims=True)
-        Sr = jnp.sum(r, axis=1, keepdims=True)
-        Ss = jnp.sum(s, axis=1, keepdims=True)
+            if invs is not None:
+                inv = invs[ci].astype(x.dtype)  # stored residual (A/B b)
+            else:
+                inv = 1.0 / (1.0 + x * x)
+            u = g[None, :] * inv
+            p = x * u
+            q = p * inv
+            r = x * q
+            s = x * r
+            Su = jnp.sum(u, axis=1, keepdims=True)
+            Sp = jnp.sum(p, axis=1, keepdims=True)
+            Sq = jnp.sum(q, axis=1, keepdims=True)
+            Sr = jnp.sum(r, axis=1, keepdims=True)
+            Ss = jnp.sum(s, axis=1, keepdims=True)
         gh = bb * bb * G + Su + 2.0 * bb * Sp
         gb = hb2 * G + 2.0 * hh * Sp
         # Σ g·dL/dx and Σ g·x·dL/dx from the shared reductions

@@ -467,3 +467,51 @@ class TestPiecesInvariantCheck:
         bg = lambda lo, hi: jnp.ones(hi - lo)
         with pytest.raises(ValueError, match="partition invariant"):
             likelihood_chi22p_pieces(spec, [(90, 120, jnp.ones(30))], bg)
+
+
+class TestBf16ProfileStream:
+    """The bf16 Lorentzian profile stream (tamcmc run --precision bf16;
+    +22% measured on TPU v5e): values within bf16 quantisation of f32,
+    gradients finite and close, f32 restored after."""
+
+    def _setup_case(self):
+        rng = np.random.default_rng(3)
+        nu = jnp.asarray(np.linspace(1000.0, 1200.0, 4096), jnp.float32)
+        K = 24
+        H = jnp.asarray(rng.uniform(1, 10, K), jnp.float32)
+        Cc = jnp.asarray(rng.uniform(1010, 1190, K), jnp.float32)
+        W = jnp.asarray(rng.uniform(0.5, 3.0, K), jnp.float32)
+        B = jnp.asarray(rng.uniform(-0.05, 0.05, K), jnp.float32)
+        return nu, H, Cc, W, B
+
+    def test_values_and_grads_close_to_f32(self):
+        from tamcmc_tpu.ops import lorentzian as lz
+        nu, H, Cc, W, B = self._setup_case()
+
+        def loss(h, c, w, b):
+            m = jnp.maximum(lz.sum_lorentzians(nu, h, c, w, b) + 0.5, 1e-12)
+            return -jnp.sum(jnp.log(m) + 1.0 / m)
+
+        f32_val = np.asarray(lz.sum_lorentzians(nu, H, Cc, W, B))
+        f32_grad = [np.asarray(g) for g in
+                    jax.grad(loss, argnums=(0, 1, 2, 3))(H, Cc, W, B)]
+        lz.set_profile_precision("bf16")
+        try:
+            bf_val = np.asarray(lz.sum_lorentzians(nu, H, Cc, W, B))
+            bf_grad = [np.asarray(g) for g in
+                       jax.grad(loss, argnums=(0, 1, 2, 3))(H, Cc, W, B)]
+        finally:
+            lz.set_profile_precision("f32")
+        # bf16 has ~2^-8 relative precision; sums of K contributions keep
+        # the relative error at the same order
+        np.testing.assert_allclose(bf_val, f32_val, rtol=0.02,
+                                   atol=0.02 * f32_val.max())
+        for gb, gf in zip(bf_grad, f32_grad):
+            assert np.all(np.isfinite(gb))
+            scale = np.abs(gf).max()
+            np.testing.assert_allclose(gb, gf, atol=0.05 * scale)
+
+    def test_setter_validates(self):
+        from tamcmc_tpu.ops import lorentzian as lz
+        with pytest.raises(ValueError):
+            lz.set_profile_precision("fp8")
