@@ -467,6 +467,7 @@ def cmd_batch(args):
             outdir=str(base / star.get("outdir", f"star_{i}")),
             resume=args.resume, no_report=star.get("no_report", False),
             profile=False, max_rows=40,
+            precision=getattr(args, "precision", "f32"),
             sampler_overrides=cfg_defaults.get("sampler") or None,
             init_scale_table=err_table)
         if ns.problem and not pathlib.Path(ns.problem).is_absolute():
@@ -882,6 +883,9 @@ def main(argv=None):
                     help="provisional errors_default.cfg: per-parameter "
                          "initial proposal sigmas")
     pb.add_argument("--resume", action="store_true")
+    pb.add_argument("--precision", choices=("f32", "bf16"), default="f32",
+                    help="Lorentzian profile-stream arithmetic for every "
+                         "star (see run --precision)")
     pb.add_argument("--stacked", action="store_true",
                     help="advance ALL stars in one vmapped program "
                          "(requires aligned grids + shared model family; "

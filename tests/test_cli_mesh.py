@@ -177,3 +177,24 @@ class TestMeshMidPhaseResume:
             a, _ = read_bin_samples(str(out), phase)
             b, _ = read_bin_samples(str(ref), phase)
             np.testing.assert_array_equal(a, b, err_msg=f"phase {phase}")
+
+
+class TestShardmapCLI:
+    def test_runner_shardmap_e2e(self, tmp_path):
+        """`tamcmc run --mesh 4x1 --runner shardmap` runs the full B/L/A
+        fit through the explicit shard_map runner and recovers the same
+        physics (statistical agreement: different, mesh-invariant RNG
+        protocol -> distributional equivalence is the contract)."""
+        import jax
+        if len(jax.devices()) < 4:
+            pytest.skip("needs fake multi-device CPU backend")
+        out = tmp_path / "smap_fit"
+        main(ARGS + ["--outdir", str(out), "--mesh", "4x1",
+                     "--runner", "shardmap"])
+        rows = json.loads((out / "summary.json").read_text())
+        by = {r["name"]: r for r in rows}
+        assert abs(by["nu0"]["median"] - 50.0) < 2.0
+        assert abs(by["white"]["median"] - 1.0) < 0.15
+        # outputs/artifacts identical in shape to the GSPMD path
+        s, names = read_bin_samples(str(out), "A")
+        assert s.shape[1] == 4 and len(names) == 4
