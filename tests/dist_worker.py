@@ -83,6 +83,25 @@ def main():
     print(f"DIST_OK pid={jax.process_index()} attempts={att_local.tolist()}",
           flush=True)
 
+    # ---- stage 1b: explicit shard_map runner across the process boundary
+    # (parallel/shardmap_runner.py): hand-placed ppermute neighbour
+    # exchanges must work over gloo between REAL processes, not just the
+    # single-process fake mesh the fast suite uses.
+    from tamcmc_tpu.parallel.shardmap_runner import make_shardmap_phase_runner
+    state2 = shard_state(init_state(problem, hp, T, C, jax.random.PRNGKey(1)),
+                         mesh)
+    smap = make_shardmap_phase_runner(problem, hp, betas, mesh, adapt=True,
+                                      thin=2, n_emit=2)
+    state2, outs2 = smap(state2, jax.random.PRNGKey(2))
+    jax.block_until_ready(state2.theta)
+    theta0b = np.asarray(outs2["theta0"])   # replicated over temp shards
+    assert np.all(np.isfinite(theta0b)), "shardmap: non-finite cold samples"
+    att2 = np.concatenate(
+        [np.asarray(s.data) for s in state2.nswap_att.addressable_shards])
+    pairs2 = att2[:-1] if hi == T else att2
+    assert np.all(pairs2 > 0), f"shardmap unattempted swap pairs: {att2}"
+    print(f"DIST_SHARDMAP_OK pid={jax.process_index()}", flush=True)
+
     # ---- stage 2: FULL user-facing B/L/A fit through the CLI ----
     # (VERDICT round-1 item 1: "the two-process gloo harness runs a full
     # B/L/A fit, not just swap bookkeeping").  Same entry point a user runs:

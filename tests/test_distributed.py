@@ -54,4 +54,5 @@ def test_two_process_sampler(tmp_path):
         log.close()
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"DIST_OK pid={pid}" in out, out[-4000:]
+        assert f"DIST_SHARDMAP_OK pid={pid}" in out, out[-4000:]
         assert f"DIST_FIT_OK pid={pid}" in out, out[-4000:]
