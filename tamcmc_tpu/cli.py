@@ -262,6 +262,8 @@ def cmd_run(args):
     metrics.log("run_start", n_temps=n_temps, n_chains=n_chains,
                 ndim_free=problem.ndim_free, seed=args.seed,
                 mesh=getattr(args, "mesh", None) or "",
+                runner=getattr(args, "runner", "gspmd"),
+                precision=getattr(args, "precision", "f32"),
                 processes=jax.process_count())
     # Multi-host: every process writes ITS slice of the (replicated)
     # cold-rung walker records — host-parallel IO, no duplication;
