@@ -192,6 +192,10 @@ def cmd_run(args):
         from tamcmc_tpu.parallel.distributed import make_global_sampler_mesh
         nt, nc = _parse_mesh(args.mesh)
         mesh = make_global_sampler_mesh(nt, nc)
+    elif getattr(args, "runner", "gspmd") != "gspmd":
+        raise SystemExit("--runner selects the SHARDED execution strategy "
+                         "and requires --mesh TxC; without a mesh the local "
+                         "runner executes regardless")
     pid = jax.process_index() if multiproc else 0
     is_writer_proc = pid == 0
 
@@ -429,6 +433,11 @@ def cmd_batch(args):
     --stacked: all stars advance in ONE vmapped program (aligned grids
     required — sampler/ensemble.py), S posteriors for one program's cost."""
     import argparse
+    if getattr(args, "precision", "f32") != "f32":
+        # set ONCE here so both the per-star loop and the --stacked path
+        # honour it (the stacked builder never routes through cmd_run)
+        from tamcmc_tpu.ops.lorentzian import set_profile_precision
+        set_profile_precision(args.precision)
     base = pathlib.Path(args.presets).parent
     cfg_defaults = {}
     err_table = None

@@ -43,18 +43,26 @@ def load_checkpoint(path: str):
     """Returns (state, key, phase, meta)."""
     z = np.load(path, allow_pickle=False)
     found = int(z["schema_version"]) if "schema_version" in z.files else 0
-    if found != SCHEMA_VERSION:
+    missing = [n for n in _FIELDS if f"state_{n}" not in z.files]
+    if found == 0 and not missing:
+        # pre-versioning checkpoint whose payload fully validates against
+        # the current layout: GRANDFATHERED (the gate exists to stop
+        # silent misloads, not to strand every in-flight long fit across
+        # the upgrade) — loud note so the provenance is visible
+        import sys
+        print(f"note: checkpoint '{path}' predates schema versioning "
+              f"(treating as v{SCHEMA_VERSION}: all "
+              f"{len(_FIELDS)} state fields validate)", file=sys.stderr)
+    elif found != SCHEMA_VERSION:
         raise ValueError(
             f"checkpoint '{path}' has sampler-state schema v{found}, this "
             f"build expects v{SCHEMA_VERSION}: the SamplerState layout "
             "changed between writer and reader.  Restart the phase from its "
             "predecessor's checkpoint, or load with the matching release.")
-    missing = [n for n in _FIELDS if f"state_{n}" not in z.files]
     if missing:
         raise ValueError(
             f"checkpoint '{path}' is missing state fields {missing} "
-            f"(schema v{found} matches but the payload is incomplete/"
-            "corrupt)")
+            f"(schema v{found} but the payload is incomplete/corrupt)")
     kwargs = {name: jnp.asarray(z[f"state_{name}"]) for name in _FIELDS}
     state = SamplerState(**kwargs)
     key = jax.random.wrap_key_data(jnp.asarray(z["prng_key"]))

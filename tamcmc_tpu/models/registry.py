@@ -131,10 +131,6 @@ _ROT_SEGMENTS = {
     "aj": "aj",
     "ajalm": "ajAlm",
 }
-_ROT_CANONICAL = {v: k for k, v in {
-    "a1etaa3": "a1etaa3", "a1a2a3": "a1a2a3", "a1l_etaa3": "a1l",
-    "a1n_etaa3": "a1n", "a1nl_etaa3": "a1nl", "aj": "aj",
-    "ajAlm": "ajAlm"}.items()}
 _NOISE_SEGMENTS = {"harveylike": "harvey_like", "harvey1985": "harvey_1985"}
 # IO-variant suffixes: the reference's _Classic/_vN differ only in
 # .model-file IO conventions [U] — mathematical aliases here.  RGB _v2/_v3

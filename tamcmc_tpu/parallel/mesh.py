@@ -40,28 +40,36 @@ def make_sampler_mesh(n_temp_shards: int, n_chain_shards: int = 1,
     return Mesh(dev, ("temp", "chain"))
 
 
-def state_shardings(mesh: Mesh) -> SamplerState:
-    """A SamplerState-shaped pytree of NamedShardings."""
-    def s(*spec):
-        return NamedSharding(mesh, P(*spec))
+def state_pspecs() -> SamplerState:
+    """The ONE definition of the SamplerState partition layout, as plain
+    PartitionSpecs (shard_map in/out specs use these directly;
+    state_shardings wraps them in NamedShardings for GSPMD placement —
+    a single source so the two runners can never disagree)."""
     return SamplerState(
-        theta=s("temp", "chain", None),
-        logL=s("temp", "chain"),
-        logP=s("temp", "chain"),
-        gradL=s("temp", "chain", None),
-        gradP=s("temp", "chain", None),
-        mu=s("temp", "chain", None),
-        cov=s("temp", "chain", None, None),
-        chol=s("temp", "chain", None, None),
-        ichol=s("temp", "chain", None, None),
-        log_sigma=s("temp", "chain"),
-        step=s(),
-        naccept=s("temp"),
-        nprop=s(),
-        acc_rate=s("temp", "chain"),
-        nswap_att=s("temp"),
-        nswap_acc=s("temp"),
-        scales0=s(None),
-        u_center=s(None),
-        u_scale=s(None),
+        theta=P("temp", "chain", None),
+        logL=P("temp", "chain"),
+        logP=P("temp", "chain"),
+        gradL=P("temp", "chain", None),
+        gradP=P("temp", "chain", None),
+        mu=P("temp", "chain", None),
+        cov=P("temp", "chain", None, None),
+        chol=P("temp", "chain", None, None),
+        ichol=P("temp", "chain", None, None),
+        log_sigma=P("temp", "chain"),
+        step=P(),
+        naccept=P("temp"),
+        nprop=P(),
+        acc_rate=P("temp", "chain"),
+        nswap_att=P("temp"),
+        nswap_acc=P("temp"),
+        scales0=P(None),
+        u_center=P(None),
+        u_scale=P(None),
     )
+
+
+def state_shardings(mesh: Mesh) -> SamplerState:
+    """A SamplerState-shaped pytree of NamedShardings (from state_pspecs)."""
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        state_pspecs(),
+                        is_leaf=lambda x: isinstance(x, P))

@@ -30,43 +30,13 @@ subsystem's obligations.
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
-from tamcmc_tpu.sampler.state import SamplerState
 from tamcmc_tpu.sampler.mala import mala_step
-from tamcmc_tpu.sampler.tempering import tempering_swap
-
-
-def state_pspecs() -> SamplerState:
-    """SamplerState-shaped pytree of PartitionSpecs (mirrors
-    parallel.mesh.state_shardings, which wraps these in NamedShardings)."""
-    return SamplerState(
-        theta=P("temp", "chain", None),
-        logL=P("temp", "chain"),
-        logP=P("temp", "chain"),
-        gradL=P("temp", "chain", None),
-        gradP=P("temp", "chain", None),
-        mu=P("temp", "chain", None),
-        cov=P("temp", "chain", None, None),
-        chol=P("temp", "chain", None, None),
-        ichol=P("temp", "chain", None, None),
-        log_sigma=P("temp", "chain"),
-        step=P(),
-        naccept=P("temp"),
-        nprop=P(),
-        acc_rate=P("temp", "chain"),
-        nswap_att=P("temp"),
-        nswap_acc=P("temp"),
-        scales0=P(None),
-        u_center=P(None),
-        u_scale=P(None),
-    )
+from tamcmc_tpu.parallel.mesh import state_pspecs
 
 
 def _fold_draws(key, tg, cg, T_global, C_global, Df, dtype):
@@ -173,10 +143,19 @@ def make_shardmap_phase_runner(problem, hp, betas, mesh, adapt: bool,
         cg = lax.axis_index("chain") * c_loc + jnp.arange(c_loc)
         betas_loc = betas_g                      # P('temp')-sharded input
 
+        # resolve the "auto" covariance estimator from the GLOBAL walker
+        # count: inside shard_map mala_step sees only the local shard's C,
+        # and letting it resolve locally would silently switch a
+        # chain-sharded mesh to the per-walker estimator (a different
+        # adaptation algorithm per mesh shape)
+        import dataclasses as _dc
+        hp_res = _dc.replace(
+            hp, cov_estimator=hp.resolved_cov_estimator(C_global, Df))
+
         def raw(state, step_key):
             xi, u_acc, u_swap = _fold_draws(
                 step_key, tg, cg, T_global, C_global, Df, state.theta.dtype)
-            state = mala_step(problem, hp, betas_loc, state, None,
+            state = mala_step(problem, hp_res, betas_loc, state, None,
                               adapt=adapt, draws=(xi, u_acc),
                               axis_reduce=cmean)
             do_swap = (state.step % hp.dN_mixing) == 0
@@ -232,7 +211,7 @@ def make_shardmap_phase_runner(problem, hp, betas, mesh, adapt: bool,
         "swap_att": P(None, "temp"), "swap_acc": P(None, "temp"),
     }
     smapped = jax.shard_map(
-        functools.partial(body),
+        body,
         mesh=mesh,
         in_specs=(P("temp"), sspec, P()),
         out_specs=(sspec, rec_specs),

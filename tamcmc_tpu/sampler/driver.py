@@ -96,6 +96,26 @@ def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
     return jax.jit(run, donate_argnums=(0,))
 
 
+def resolve_emit_plan(n_steps: int, thin: int, chunk: int):
+    """Chunk plan shared by the single-star and ensemble phase runners:
+    (n_emit_total, chunk).  One compiled runner per (adapt, chunk) — the
+    final partial chunk runs at the FULL chunk size (slight overshoot beats
+    recompiling; XLA compiles are the expensive resource on the TPU tunnel,
+    not extra iterations) and the overshoot is logged, never silent: the
+    extra records enter the returned posterior."""
+    n_emit_total = max(n_steps // thin, 1)
+    chunk = min(chunk, n_emit_total)
+    overshoot = (-n_emit_total) % chunk
+    if overshoot:
+        n_emit_total += overshoot
+        import sys
+        print(f"note: requested {n_steps} steps rounds up to "
+              f"{n_emit_total * thin} ({n_emit_total} emitted records, "
+              f"chunk={chunk}); the extra {overshoot * thin} steps enter "
+              "the returned posterior", file=sys.stderr)
+    return n_emit_total, chunk
+
+
 def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
               chunk=200, on_chunk: Optional[Callable] = None,
               on_state: Optional[Callable] = None, mesh=None,
@@ -119,20 +139,8 @@ def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
     already_emitted: skip this many already-emitted records (mid-phase
     resume; must be a multiple of the original run's chunk size).
     """
-    n_emit_total = max(n_steps // thin, 1)
+    n_emit_total, chunk = resolve_emit_plan(n_steps, thin, chunk)
     collected = []
-    # One compiled runner per (adapt, chunk): the final partial chunk runs at
-    # the full chunk size (slight overshoot beats recompiling — XLA compiles
-    # are the expensive resource on the TPU tunnel, not extra iterations).
-    chunk = min(chunk, n_emit_total)
-    overshoot = (-n_emit_total) % chunk
-    if overshoot:
-        n_emit_total += overshoot
-        import sys
-        print(f"note: requested {n_steps} steps rounds up to "
-              f"{n_emit_total * thin} ({n_emit_total} emitted records, "
-              f"chunk={chunk}); the extra {overshoot * thin} steps enter "
-              "the returned posterior", file=sys.stderr)
     if already_emitted % chunk != 0:
         raise ValueError(f"already_emitted={already_emitted} is not a "
                          f"multiple of chunk={chunk}; resume would desync "

@@ -204,16 +204,8 @@ def run_ensemble_phase(problems, hp, betas, states, key, n_steps, adapt=True,
     on_chunk(outs): records with (chunk, S, ...) shapes per chunk.
     on_state(states, key, emitted): carry + continuation key at each chunk
     boundary — checkpoint exactly this pair for bitwise resume."""
-    n_emit_total = max(n_steps // thin, 1)
-    chunk = min(chunk, n_emit_total)
-    overshoot = (-n_emit_total) % chunk
-    if overshoot:
-        n_emit_total += overshoot
-        import sys
-        print(f"note: requested {n_steps} steps rounds up to "
-              f"{n_emit_total * thin} ({n_emit_total} emitted records, "
-              f"chunk={chunk}); the extra {overshoot * thin} steps enter "
-              "the returned posterior", file=sys.stderr)
+    from tamcmc_tpu.sampler.driver import resolve_emit_plan
+    n_emit_total, chunk = resolve_emit_plan(n_steps, thin, chunk)
     if already_emitted % chunk != 0:
         raise ValueError(f"already_emitted={already_emitted} not a multiple "
                          f"of chunk={chunk}")

@@ -197,12 +197,28 @@ class TestCheckpointSchema:
         with pytest.raises(ValueError, match="schema v999"):
             load_checkpoint(str(ck))
 
-    def test_legacy_unversioned_refused(self, tmp_path):
+    def test_legacy_unversioned_grandfathered_when_complete(self, tmp_path,
+                                                            capsys):
+        """Pre-versioning checkpoints whose payload fully validates load
+        with a loud note (the gate stops misloads, it does not strand
+        in-flight fits across the upgrade)."""
         ck = tmp_path / "r.npz"
         save_checkpoint(str(ck), self._make_state(), jax.random.PRNGKey(1))
         z = dict(np.load(ck))
         del z["schema_version"]
         np.savez(ck, **z)
+        load_checkpoint(str(ck))        # no raise
+        assert "predates schema versioning" in capsys.readouterr().err
+
+    def test_legacy_unversioned_incomplete_refused(self, tmp_path):
+        ck = tmp_path / "r.npz"
+        save_checkpoint(str(ck), self._make_state(), jax.random.PRNGKey(1))
+        z = dict(np.load(ck))
+        del z["schema_version"]
+        del z["state_cov"]
+        np.savez(ck, **z)
+        # an unversioned AND incomplete payload is refused (reported as a
+        # version mismatch: only a fully-validating v0 is grandfathered)
         with pytest.raises(ValueError, match="schema v0"):
             load_checkpoint(str(ck))
 

@@ -161,3 +161,26 @@ class TestDriverIntegration:
                              mesh=mesh, runner_kind="shardmap")
         assert outs["theta0"].shape == (20, C, 2)
         assert np.all(np.isfinite(outs["theta0"]))
+
+
+class TestAutoEstimatorGlobalResolution:
+    def test_chain_sharded_auto_estimator_matches_unsharded(self,
+                                                            eight_devices):
+        """MALAHyper(cov_estimator='auto') must resolve from the GLOBAL
+        walker count: with Df=5 and C=8, 2*C=16 >= 5 selects the ensemble
+        estimator, but a 1x4 chain-sharded mesh has only c_loc=2 per shard
+        (2*2=4 < 5) — resolving locally would silently switch adaptation
+        algorithms per mesh shape (round-4 review finding).  Covariance
+        trajectories must agree across shardings."""
+        p = std_gaussian(5)
+        hp = MALAHyper(use_drift=False, dN_mixing=3, cov_estimator="auto")
+        T, C = 2, 8
+        betas = make_beta_ladder(T, 1.5)
+        s11, _ = _run(p, hp, betas, T, C, 1, 1, thin=5, n_emit=6)
+        s14, _ = _run(p, hp, betas, T, C, 1, 4, thin=5, n_emit=6)
+        np.testing.assert_allclose(np.asarray(s11.cov),
+                                   np.asarray(s14.cov),
+                                   rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(s11.mu),
+                                   np.asarray(s14.mu),
+                                   rtol=2e-4, atol=2e-6)

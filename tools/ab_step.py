@@ -36,8 +36,6 @@ def main():
         variant = "store_inv"
     if os.environ.get("TAMCMC_LORENTZ_BF16") == "1":
         variant = "bf16_grid"
-    if os.environ.get("TAMCMC_FUSED_LIK") == "1":
-        variant = "fused_lik"
 
     problem, hp, plan, meta = make_demo("ms_global", seed=0)
     T = meta["n_temps"]
