@@ -155,6 +155,31 @@ def _build_problem(args):
     raise SystemExit("run: provide --demo NAME or --problem FILE")
 
 
+def _check_resume_provenance(ckpt_path, **expect):
+    """Refuse a --resume whose precision/runner differs from what the
+    checkpoint was written under (round-4 advisor, medium).  Reads only the
+    npz meta fields — called before any kernel traces, so the precision
+    switch is still free to be set to the checkpoint's value.  Checkpoints
+    predating the provenance meta are grandfathered with a note."""
+    if not ckpt_path.exists():
+        return
+    z = np.load(str(ckpt_path), allow_pickle=False)
+    for field, current in expect.items():
+        key = f"meta_{field}"
+        if key not in z.files:
+            print(f"note: checkpoint predates {field} provenance; "
+                  f"resuming under --{field} {current}", file=sys.stderr)
+        elif str(z[key]) != current:
+            raise SystemExit(
+                f"refusing to resume: checkpoint {ckpt_path} was written "
+                f"under --{field} {z[key]} but this run requests "
+                f"--{field} {current}; mixing the two would splice samples "
+                f"from different "
+                f"{'likelihood precisions' if field == 'precision' else 'RNG protocols'} "
+                f"into one posterior.  Re-run with --{field} {z[key]} "
+                f"(or start a fresh outdir).")
+
+
 def _parse_mesh(spec: str):
     """'TxC' -> (n_temp_shards, n_chain_shards), e.g. '4x2'."""
     try:
@@ -176,7 +201,18 @@ def cmd_run(args):
     if debug:
         from tamcmc_tpu.utils.debug import enable_debug_mode
         enable_debug_mode()
-    if getattr(args, "precision", "f32") != "f32":
+    run_precision = getattr(args, "precision", "f32")
+    run_runner = getattr(args, "runner", "gspmd")
+    if args.resume:
+        # provenance gate BEFORE precision is set/any model traces: a
+        # checkpoint written under one precision/runner must not be resumed
+        # under another — that would silently splice samples from two
+        # slightly different likelihoods (bf16-vs-f32 profile stream) or
+        # RNG protocols (gspmd global draws vs shardmap per-walker fold_in)
+        # into one posterior (round-4 advisor, medium)
+        _check_resume_provenance(pathlib.Path(args.outdir) / "restore.npz",
+                                 precision=run_precision, runner=run_runner)
+    if run_precision != "f32":
         # must precede any model build: compiled programs bake precision in
         from tamcmc_tpu.ops.lorentzian import set_profile_precision
         set_profile_precision(args.precision)
@@ -231,6 +267,8 @@ def cmd_run(args):
     ckpt = outdir / "restore.npz"
     done_phases, mid_phase, mid_emitted, mid_key = [], None, 0, None
     if args.resume and ckpt.exists():
+        # provenance (precision/runner match) was gated at the top of
+        # cmd_run, before any kernel traced
         state, key, last_phase, cmeta = load_checkpoint(str(ckpt))
         state = _place(state)
         order = ["B", "L", "A"]
@@ -288,6 +326,10 @@ def cmd_run(args):
             from tamcmc_tpu.parallel.sharded import gather_state_to_host
             s = gather_state_to_host(s)
         if is_writer_proc:
+            meta_d = dict(meta_d or {})
+            # provenance gate checked on --resume (see above)
+            meta_d.setdefault("precision", run_precision)
+            meta_d.setdefault("runner", run_runner)
             save_checkpoint(str(ckpt), s, k, phase=phase, meta=meta_d)
 
     # --- periodic in-run diagnostics (--report-every; SURVEY "end-of-phase
@@ -433,6 +475,11 @@ def cmd_batch(args):
     --stacked: all stars advance in ONE vmapped program (aligned grids
     required — sampler/ensemble.py), S posteriors for one program's cost."""
     import argparse
+    if getattr(args, "stacked", False) and getattr(args, "resume", False):
+        # same provenance gate as cmd_run, before any kernel traces
+        _check_resume_provenance(
+            pathlib.Path(args.presets).parent / "stacked_restore.npz",
+            precision=getattr(args, "precision", "f32"))
     if getattr(args, "precision", "f32") != "f32":
         # set ONCE here so both the per-star loop and the --stacked path
         # honour it (the stacked builder never routes through cmd_run)
@@ -536,8 +583,10 @@ def _batch_stacked(args, stars, base):
     key = jax.random.PRNGKey(seed)
 
     ckpt = base / "stacked_restore.npz"
+    run_precision = getattr(args, "precision", "f32")
     done_phases, mid_phase, mid_emitted, mid_key = [], None, 0, None
     if getattr(args, "resume", False) and ckpt.exists():
+        # provenance gated in cmd_batch before any kernel traced
         states, key, last_phase, cmeta = load_checkpoint(str(ckpt))
         order = ["B", "L", "A"]
         if int(cmeta.get("in_progress", 0)):
@@ -591,6 +640,7 @@ def _batch_stacked(args, stars, base):
                     w.save_partial(_n)
                 save_checkpoint(str(ckpt), s, k, phase=_n, meta={
                     "in_progress": 1, "emitted": emitted,
+                    "precision": run_precision,
                     "outer_key": np.asarray(jax.random.key_data(key))})
 
         try:
@@ -606,7 +656,8 @@ def _batch_stacked(args, stars, base):
             w.finalize_phase(name)
         if outs:
             results[name] = outs
-        save_checkpoint(str(ckpt), states, key, phase=name)
+        save_checkpoint(str(ckpt), states, key, phase=name,
+                        meta={"precision": run_precision})
     for w in writers:
         w.close()
     dt = time.time() - t0

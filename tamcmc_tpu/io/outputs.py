@@ -10,7 +10,9 @@ Format here:
                          (emit, walker): Df values.  `.hdr` sidecar is ASCII:
                          Nvars, Nsamples, column names — enough for the
                          `tamcmc export` tool (reference bin2txt parity).
-  {phase}_chains.npz   — logL (emit, T, C), logP0, log_sigma, acc_rate, mu0,
+  {phase}_chains.npz   — logL/logP (emit, T, C; all rungs — reference
+                         outputs.cpp writes both chains for every
+                         temperature [U]), logP0, log_sigma, acc_rate, mu0,
                          cov_diag0 (emit, Df), swap_att/swap_acc (emit, T;
                          cumulative counters — rates are diffs over emits)
 
@@ -212,7 +214,17 @@ def read_bin_samples(outdir: str, phase: str, with_chains: bool = False):
         n = s.shape[0]
         if nchains and n % nchains == 0:
             return s.reshape(n // nchains, nchains, s.shape[1])
-        return s[:, None, :]    # unknown layout: one pseudo-chain
+        # unknown layout (legacy .hdr without Nchains, or a record count a
+        # crash left non-divisible): one flat pseudo-chain.  Warn — emit-axis
+        # consumers (export --thin, ESS) then operate on the INTERLEAVED
+        # record stream, which is exactly the uneven-walker-subset striding
+        # the chain-aware path exists to avoid (round-4 advisor, low).
+        import sys
+        print(f"warning: {phase}_samples has no usable Nchains "
+              f"(Nchains={nchains}, {n} records); treating the interleaved "
+              "record stream as one pseudo-chain — thinning/ESS will stride "
+              "across walkers", file=sys.stderr)
+        return s[:, None, :]
 
     single = outdir / f"{phase}_samples.bin"
     if single.exists():
@@ -231,6 +243,10 @@ def read_bin_samples(outdir: str, phase: str, with_chains: bool = False):
         if len(emits) == 1:
             return np.concatenate(parts, axis=1), names
         # desynced shards (aborted host): flatten back to pseudo-chains
+        import sys
+        print(f"warning: host shards of {phase}_samples are desynced "
+              f"(emit counts {sorted(emits)}); flattening to pseudo-chains — "
+              "thinning/ESS will stride across walkers", file=sys.stderr)
         parts = [p.reshape(-1, p.shape[-1])[:, None, :] for p in parts]
         return np.concatenate(parts, axis=0), names
     return np.concatenate(parts, axis=0), names

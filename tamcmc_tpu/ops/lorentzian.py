@@ -67,6 +67,11 @@ _STORE_INV = os.environ.get("TAMCMC_VJP_STORE_INV", "") == "1"
 # (+22% steps/s); posterior-validated vs f32 on BASELINE configs 1-3 with
 # the parity harness (tools/validate_bf16.py; record in BASELINE.md).
 _BF16 = os.environ.get("TAMCMC_LORENTZ_BF16", "") == "1"
+# set on the first trace of the profile kernels: compiled programs bake the
+# precision in, so flipping it afterwards would silently mix precisions via
+# stale jit caches (round-4 advisor, low) — set_profile_precision REFUSES
+# a post-trace change instead.
+_TRACED = False
 
 
 def set_profile_precision(precision: str):
@@ -75,15 +80,33 @@ def set_profile_precision(precision: str):
     posterior-validated — the user-facing switch behind
     `tamcmc run --precision bf16`).
 
-    MUST be called before the first model build/trace: compiled programs
-    bake the precision in, and toggling afterwards would hit stale jit
-    caches.
+    Must be called before the first model build/trace; calling it after a
+    profile kernel has traced with a DIFFERENT precision raises (stale jit
+    caches would otherwise serve mixed-precision results).  Re-asserting
+    the already-active precision is a no-op.
     """
     global _BF16
     if precision not in ("f32", "bf16"):
         raise ValueError(f"precision must be 'f32' or 'bf16', "
                          f"got {precision!r}")
-    _BF16 = precision == "bf16"
+    want = precision == "bf16"
+    if _TRACED and want != _BF16:
+        raise RuntimeError(
+            f"set_profile_precision({precision!r}) called after a Lorentzian "
+            "kernel already traced with "
+            f"{'bf16' if _BF16 else 'f32'}: compiled programs bake the "
+            "precision in and jit caches would serve stale mixed-precision "
+            "results.  Set the precision before building any model (the CLI "
+            "does this first thing in cmd_run), or clear jax caches and "
+            "rebuild every model_fn.")
+    _BF16 = want
+
+
+def _reset_precision_guard():
+    """Test hook: forget the traced-once latch (callers must also clear jax
+    caches if they actually flip precision between fits in one process)."""
+    global _TRACED
+    _TRACED = False
 
 
 def lorentzian_profile(nu, height, nu0, width, asym=0.0):
@@ -99,6 +122,8 @@ def lorentzian_profile(nu, height, nu0, width, asym=0.0):
 
 
 def _fwd_impl(nu, heights, nu0s, widths, asyms, keep_inv=False):
+    global _TRACED
+    _TRACED = True
     w = jnp.maximum(widths, _WFLOOR)
     iw = 2.0 / w
     hb2 = 2.0 * heights * asyms

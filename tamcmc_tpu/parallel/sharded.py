@@ -65,7 +65,7 @@ def make_sharded_phase_runner(problem, hp, betas, mesh, adapt: bool,
     # collectives of its own.  (logL (E,T,C) costs one tiny all-gather per
     # emit, amortised over `thin` raw steps.)
     out_record_sh = {
-        "theta0": rep, "logL": rep,
+        "theta0": rep, "logL": rep, "logP": rep,
         "logP0": rep, "log_sigma": rep, "acc_rate": rep, "mu0": rep,
         "cov_diag0": rep, "swap_att": rep, "swap_acc": rep,
     }

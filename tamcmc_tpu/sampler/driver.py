@@ -64,6 +64,10 @@ def make_record(state: SamplerState):
         # (C, Df) coldest rung, physical units
         "theta0": state.u_center + state.u_scale * state.theta[0],
         "logL": state.logL,                          # (T, C)
+        # per-rung logP chains: the reference writes logL AND logP for all
+        # temperatures [U] (SURVEY.md section 2 "Outputs"); logP0 is kept as
+        # the cold-rung convenience view for existing consumers
+        "logP": state.logP,                          # (T, C)
         "logP0": state.logP[0],                      # (C,)
         "log_sigma": jnp.mean(state.log_sigma, 1),   # (T,) walker mean
         "acc_rate": jnp.mean(state.acc_rate, 1),     # (T,)

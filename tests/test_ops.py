@@ -495,12 +495,17 @@ class TestBf16ProfileStream:
         f32_val = np.asarray(lz.sum_lorentzians(nu, H, Cc, W, B))
         f32_grad = [np.asarray(g) for g in
                     jax.grad(loss, argnums=(0, 1, 2, 3))(H, Cc, W, B)]
+        # these calls are EAGER (per-call dispatch, no stale jit cache), so
+        # the post-trace flip latch is safely reset around the A/B; library
+        # callers with jitted models must set precision before building
+        lz._reset_precision_guard()
         lz.set_profile_precision("bf16")
         try:
             bf_val = np.asarray(lz.sum_lorentzians(nu, H, Cc, W, B))
             bf_grad = [np.asarray(g) for g in
                        jax.grad(loss, argnums=(0, 1, 2, 3))(H, Cc, W, B)]
         finally:
+            lz._reset_precision_guard()
             lz.set_profile_precision("f32")
         # bf16 has ~2^-8 relative precision; sums of K contributions keep
         # the relative error at the same order
@@ -515,3 +520,17 @@ class TestBf16ProfileStream:
         from tamcmc_tpu.ops import lorentzian as lz
         with pytest.raises(ValueError):
             lz.set_profile_precision("fp8")
+
+    def test_setter_refuses_post_trace_flip(self):
+        """A precision flip AFTER a kernel has traced must raise: compiled
+        programs bake the precision in and stale jit caches would serve
+        mixed-precision results (round-4 advisor, low)."""
+        from tamcmc_tpu.ops import lorentzian as lz
+        nu = jnp.linspace(0.0, 10.0, 64)
+        lz.sum_lorentzians(nu, jnp.ones(2), jnp.array([3.0, 7.0]),
+                           jnp.ones(2), jnp.zeros(2))   # latches _TRACED
+        current = "bf16" if lz._BF16 else "f32"
+        other = "f32" if lz._BF16 else "bf16"
+        with pytest.raises(RuntimeError, match="already traced"):
+            lz.set_profile_precision(other)
+        lz.set_profile_precision(current)   # re-assert: no-op, allowed
