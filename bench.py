@@ -29,6 +29,33 @@ enable_compile_cache()
 ensure_cpu_fallback()
 
 
+def _last_driver_issue_peak(default=3.02e12):
+    """Fallback issue peak when the in-run microbench reads suspect: the
+    most recent NON-suspect driver-captured value (BENCH_r*.json), newest
+    round first.  `default` = the round-4 driver capture (3.02e12), the
+    oldest value this policy may ever fall back to."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       key=lambda p: -int(re.findall(r"r(\d+)", p)[-1])):
+        try:
+            doc = json.load(open(path))
+            d = doc.get("detail")
+            if d is None:
+                # driver format: bench stdout captured in a "tail" string
+                for line in reversed(doc.get("tail", "").splitlines()):
+                    if line.startswith("{") and '"metric"' in line:
+                        d = json.loads(line).get("detail", {})
+                        break
+            if d and not d.get("issue_bench_suspect", True) and \
+                    d.get("ops_issue_peak_measured"):
+                return float(d["ops_issue_peak_measured"]) * 1e12
+        except Exception:
+            continue
+    return default
+
+
 def main():
     import sys
     def log(m):
@@ -155,7 +182,6 @@ def main():
     # roofline): 8 independent chained-fma streams, best-of-6 min time
     # (tunnel stalls only ever ADD time).
     log("measuring VPU issue peak (8 independent fma streams)")
-    OPS_ISSUE_PEAK_REF = 3.94e12       # 2026-08-21 session cross-check value
     # Methodology notes (each clause learned from a measured failure):
     #  * the map must be NON-AFFINE (x*x + c): XLA algebraically collapses
     #    repeated affine chains x*c+d — a first cut read 450e12 "ops/s";
@@ -195,13 +221,30 @@ def main():
         if t9 > t1:
             rates.append(8 * issue_elems / (t9 - t1))  # 1 fma = 1 issue op
     ops_issue_peak_measured = max(rates) if rates else 0.0
-    ops_step = (7 + 14) * comp_bins * W + 24 * N * W
+    # PRECISION-AWARE op counts (round-4 VERDICT weak #1: the f32-equivalent
+    # model stopped bounding anything once the profile stream packed 2/lane
+    # in bf16).  Issue-slot charges per (component, bin), from the actual
+    # kernels (ops/lorentzian.py _fwd_impl/_bwd):
+    #   f32 : fwd 7  (fma x, recip+newton ~3, profile fma x2, accumulate)
+    #         bwd 14 (recompute inv ~4, u/p/q/r/s chains 5, reductions 5)
+    #   bf16: the x fma and every cross-lane accumulation stay f32 (full
+    #         slot); the packed profile/backward streams issue 2 lanes/slot
+    #         (charged 1/2):  fwd 2 f32 + 7 bf16/2 = 5.5
+    #                         bwd 6 f32 + 9 bf16/2 = 10.5
+    # The chi22p epilogue (24/bin) and its log are f32 in both modes.
+    if precision == "bf16":
+        fwd_ops, bwd_ops = 5.5, 10.5
+    else:
+        fwd_ops, bwd_ops = 7.0, 14.0
+    ops_step = (fwd_ops + bwd_ops) * comp_bins * W + 24 * N * W
     achieved_issue_ops = ops_step * steps_per_s
     # a peak below the step's own achieved issue rate is physically
-    # impossible — tunnel-degraded measurement; fall back to the reference
-    # constant and flag it
+    # impossible — tunnel-degraded measurement; fall back to the last
+    # NON-SUSPECT driver-captured peak and flag it (round-4 VERDICT weak
+    # #5: a hand-picked session constant above every measured peak would
+    # deflate frac_of_issue_sol out of comparability)
     issue_bench_suspect = ops_issue_peak_measured < achieved_issue_ops
-    ops_issue_peak = (OPS_ISSUE_PEAK_REF if issue_bench_suspect
+    ops_issue_peak = (_last_driver_issue_peak() if issue_bench_suspect
                       else ops_issue_peak_measured)
     issue_sol_s = ops_step / ops_issue_peak + logs_step / 0.2e12
     issue_frac = issue_sol_s / (1.0 / steps_per_s)
@@ -270,6 +313,37 @@ def main():
             return jnp.linalg.cholesky(cv + 1e-8 * jnp.eye(cv.shape[-1]))
 
         t_chol = max(timeit(chol_fn, state.cov) - t_noop, 1e-6)
+    # --- mesh-1x1 sharding ratios (round-4 VERDICT missing #4: the scaling
+    # posture must live in the driver-captured artifact, not hand-run tool
+    # output).  Zero-communication overhead of the GSPMD annotations and the
+    # explicit shard_map runner vs the local runner, same shapes/work.
+    # TAMCMC_BENCH_SHARDING=0 skips (saves 2 compiles for quick A/Bs).
+    shard_ratios = {}
+    if os.environ.get("TAMCMC_BENCH_SHARDING", "1") != "0":
+        from tamcmc_tpu.parallel.mesh import make_sampler_mesh
+        from tamcmc_tpu.parallel.sharded import (make_sharded_phase_runner,
+                                                 shard_state)
+        from tamcmc_tpu.parallel.shardmap_runner import \
+            make_shardmap_phase_runner
+        mesh1 = make_sampler_mesh(1, 1)
+        for kind, make in (("gspmd", make_sharded_phase_runner),
+                           ("shardmap", make_shardmap_phase_runner)):
+            log(f"measuring mesh-1x1 {kind} ratio")
+            runner = make(problem, hp, betas, mesh1, False, thin, n_emit)
+            st = shard_state(state, mesh1)
+            key, sub = jax.random.split(key)
+            st, _ = runner(st, sub)             # compile + settle
+            float(np.asarray(st.logL)[0, 0])    # fetch-sync (round-4 lesson)
+            best = None
+            for _ in range(2):
+                key, sub = jax.random.split(key)
+                ts = time.time()
+                st, _ = runner(st, sub)
+                float(np.asarray(st.logL)[0, 0])
+                best = min(best or 1e9, time.time() - ts)
+            shard_ratios[kind] = round((n_emit * thin / best) / steps_per_s, 3)
+            log(f"mesh-1x1 {kind}: ratio {shard_ratios[kind]}")
+
     # ESS summed over free params' slowest? Headline: mean ESS across params
     E, Cc, Df = theta.shape
     ess = np.array([effective_sample_size(theta[:, :, i]) for i in range(Df)])
@@ -369,6 +443,9 @@ def main():
         "value": round(ess_per_s, 2),
         "unit": "ESS/s",
         "vs_baseline": round(ess_per_s / max(ref_ess_per_s, 1e-12), 1),
+        # headline-level so cross-round comparisons can't miss a precision
+        # switch (round-4 advisor, low)
+        "precision": precision,
         "detail": {
             "device": str(jax.devices()[0]),
             "precision": precision,
@@ -390,20 +467,29 @@ def main():
                                              3),
             "ops_issue_peak_used_e12": round(ops_issue_peak / 1e12, 3),
             "issue_bench_suspect": bool(issue_bench_suspect),
+            "issue_op_model": {"fwd_per_comp_bin": fwd_ops,
+                               "bwd_per_comp_bin": bwd_ops,
+                               "likelihood_per_bin": 24,
+                               "precision_aware": True},
             "issue_model_note": ("op counts assume fully batched quiet "
                                  "bins; exact when the noise block is "
                                  "free (bench config), optimistic ceiling "
-                                 "when noise is fixed.  The model counts "
-                                 "F32-equivalent ops: under bf16 the "
-                                 "profile stream can pack 2/lane, so "
-                                 "frac_of_issue_sol may legitimately "
-                                 "exceed its f32 meaning"),
+                                 "when noise is fixed.  PRECISION-AWARE "
+                                 "(round-5): bf16-packed streams are "
+                                 "charged 1/2 issue slot, f32 fma/"
+                                 "accumulate streams full — "
+                                 "frac_of_issue_sol again bounds the "
+                                 "remaining gap in both modes"),
             "comp_bins_per_walker": int(comp_bins),
             "window_reduction": round(K * N / comp_bins, 2),
             "vpu_fma_peak_gflops_measured": round(vpu_peak_gflops, 1),
             "roofline_frac_of_vpu_fma": round(roofline_frac, 3),
             "fma_bench_suspect": bool(fma_bench_suspect),
             "lorentzian_components": int(K),
+            # mesh-1x1 sharded/local steps-per-s ratios (driver-captured
+            # scaling posture; ~1.0 = zero-communication annotation
+            # overhead is nil, BASELINE.md round 4 real-chip table)
+            **({f"mesh1x1_{k}_ratio": v for k, v in shard_ratios.items()}),
             "t_full_step_ms": round(t_step * 1e3, 3),
             **({"t_model_fwd_ms": round(t_fwd * 1e3, 3),
                 "t_model_fwdbwd_ms": round(t_fwdbwd * 1e3, 3),

@@ -65,6 +65,8 @@ def _sampler_cli_overrides(args):
         out["use_drift"] = False
     if getattr(args, "target_acc", None) is not None:
         out["target_acceptance"] = args.target_acc
+    if getattr(args, "adapt_ladder", False):
+        out["adapt_ladder"] = True
     return out
 
 
@@ -73,7 +75,10 @@ def _build_problem(args):
     import jax.numpy as jnp
     from tamcmc_tpu.demos import make_demo
     if args.demo:
-        problem, hp, plan, meta = make_demo(args.demo, seed=args.seed)
+        problem, hp, plan, meta = make_demo(
+            args.demo, seed=args.seed,
+            ngrid=getattr(args, "ngrid", None),
+            n_orders=getattr(args, "n_orders", None))
         cli = _sampler_cli_overrides(args)
         if cli:
             hp = dataclasses.replace(hp, **cli)
@@ -212,10 +217,24 @@ def cmd_run(args):
         # into one posterior (round-4 advisor, medium)
         _check_resume_provenance(pathlib.Path(args.outdir) / "restore.npz",
                                  precision=run_precision, runner=run_runner)
-    if run_precision != "f32":
+    if run_precision == "bf16":
         # must precede any model build: compiled programs bake precision in
         from tamcmc_tpu.ops.lorentzian import set_profile_precision
         set_profile_precision(args.precision)
+    elif run_precision == "f64":
+        # VALIDATION mode (reference parity anchor): the reference samples in
+        # double precision [U]; enable_x64 + Problem.astype(f64) runs the
+        # whole sampler f64.  Meant for CPU (JAX_PLATFORMS=cpu) — TPU v5e has
+        # no native f64 and would crawl through emulation.  x64 itself is
+        # enabled AFTER the problem is built (below): demo problems generate
+        # synthetic data with jax.random, and enabling x64 first changes the
+        # draw stream — an f64 fit would then target DIFFERENT data than the
+        # f32 fit it is validated against (tools/validate_f64.py).
+        import jax as _jax
+        if _jax.default_backend() not in ("cpu",):
+            print("warning: --precision f64 is a CPU validation mode; "
+                  f"backend is '{_jax.default_backend()}' — expect extreme "
+                  "slowdown (set JAX_PLATFORMS=cpu)", file=sys.stderr)
 
     # --- multi-process / multi-chip bring-up (SURVEY 5.8; must precede any
     # backend-touching call so jax.distributed can claim its devices) ---
@@ -236,6 +255,10 @@ def cmd_run(args):
     is_writer_proc = pid == 0
 
     problem, hp, plan, meta = _build_problem(args)
+    if run_precision == "f64":
+        import jax.numpy as _jnp
+        jax.config.update("jax_enable_x64", True)
+        problem = problem.astype(_jnp.float64)
     n_temps = args.temps or meta.get("n_temps", 6)
     n_chains = args.chains or meta.get("n_chains", 4)
     if mesh is not None:
@@ -251,11 +274,24 @@ def cmd_run(args):
         plan = __import__("dataclasses").replace(plan, acquire=args.acquire)
     if args.thin is not None:
         plan = __import__("dataclasses").replace(plan, thin=args.thin)
+    if getattr(args, "chunk", None):
+        plan = __import__("dataclasses").replace(plan, chunk=args.chunk)
 
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     betas = make_beta_ladder(n_temps, hp.lambda_temp)
     np.save(outdir / "betas.npy", np.asarray(betas))   # for tamcmc evidence
+    ladder = None
+    if hp.adapt_ladder:
+        # Vousden et al. dynamic ladder (sampler/ladder.py): tuned during
+        # Learning, frozen in Acquire; local runner only
+        if getattr(args, "mesh", None):
+            raise SystemExit("--adapt-ladder is local-runner only "
+                             "(drop --mesh)")
+        ladder = {"betas": np.asarray(betas, dtype=np.float64),
+                  "updates": 0,
+                  "last_att": np.zeros(n_temps),
+                  "last_acc": np.zeros(n_temps)}
     key = jax.random.PRNGKey(args.seed)
 
     def _place(s):
@@ -270,6 +306,12 @@ def cmd_run(args):
         # provenance (precision/runner match) was gated at the top of
         # cmd_run, before any kernel traced
         state, key, last_phase, cmeta = load_checkpoint(str(ckpt))
+        if ladder is not None and "ladder_betas" in cmeta:
+            ladder.update(
+                betas=np.asarray(cmeta["ladder_betas"]),
+                updates=int(cmeta["ladder_updates"]),
+                last_att=np.asarray(cmeta["ladder_last_att"]),
+                last_acc=np.asarray(cmeta["ladder_last_acc"]))
         state = _place(state)
         order = ["B", "L", "A"]
         if int(cmeta.get("in_progress", 0)):
@@ -330,6 +372,11 @@ def cmd_run(args):
             # provenance gate checked on --resume (see above)
             meta_d.setdefault("precision", run_precision)
             meta_d.setdefault("runner", run_runner)
+            if ladder is not None:
+                meta_d["ladder_betas"] = ladder["betas"]
+                meta_d["ladder_updates"] = ladder["updates"]
+                meta_d["ladder_last_att"] = ladder["last_att"]
+                meta_d["ladder_last_acc"] = ladder["last_acc"]
             save_checkpoint(str(ckpt), s, k, phase=phase, meta=meta_d)
 
     # --- periodic in-run diagnostics (--report-every; SURVEY "end-of-phase
@@ -415,7 +462,8 @@ def cmd_run(args):
                     thin=plan.thin, chunk=plan.chunk,
                     on_chunk=_on_chunk, on_state=_on_state, mesh=mesh,
                     already_emitted=already,
-                    runner_kind=getattr(args, "runner", "gspmd"))
+                    runner_kind=getattr(args, "runner", "gspmd"),
+                    ladder=ladder)
         except BaseException:
             writer.abort()      # drain buffers, no .hdr — resumable state
             raise
@@ -441,6 +489,13 @@ def cmd_run(args):
                            np.exp(np.asarray(host_state.log_sigma)).mean(axis=-1)])
         print(f"phase {name}: {n_steps} steps in {dt:.1f}s "
               f"({n_steps / dt:.0f} it/s), cold acc={acc:.3f}")
+    if ladder is not None:
+        # the evidence tool integrates the A-phase logL chains over the
+        # FINAL (frozen) ladder — overwrite the initial geometric one
+        np.save(outdir / "betas.npy", np.asarray(ladder["betas"]))
+        metrics.log("ladder_final",
+                    betas=[round(float(b), 6) for b in ladder["betas"]],
+                    updates=ladder["updates"])
     writer.close()
     if not is_writer_proc:
         print(f"process {pid}: sample shards written to {outdir}")
@@ -866,6 +921,11 @@ def main(argv=None):
 
     def add_problem_args(p):
         p.add_argument("--demo", help="built-in demo problem name")
+        p.add_argument("--ngrid", type=int,
+                       help="override a demo's frequency-grid size (CI "
+                            "scaling; ignored with --problem)")
+        p.add_argument("--n-orders", type=int, dest="n_orders",
+                       help="override a demo's radial-order count")
         p.add_argument("--problem", help="TOML problem file")
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--temps", type=int)
@@ -911,6 +971,16 @@ def main(argv=None):
                          "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
                          "JAX_PROCESS_ID before building the mesh; each "
                          "host writes its own sample shard")
+    pr.add_argument("--adapt-ladder", action="store_true", dest="adapt_ladder",
+                    help="BEYOND REFERENCE: tune per-rung temperatures "
+                         "toward uniform swap acceptance during Learning "
+                         "(Vousden et al. 2016 dynamic selection), frozen "
+                         "in Acquire; local runner only (no --mesh); the "
+                         "reference's ladder is fixed geometric")
+    pr.add_argument("--chunk", type=int,
+                    help="emitted records per device->host transfer "
+                         "(default 200); smaller = finer checkpoint/"
+                         "report granularity, more launch overhead")
     pr.add_argument("--ckpt-every", type=int, dest="ckpt_every", default=0,
                     help="intra-phase checkpoint cadence in chunks (0 = "
                          "phase boundaries only); a killed run resumes "
@@ -922,12 +992,16 @@ def main(argv=None):
                          "acceptance) under <outdir>/inrun/ so a killed "
                          "month-long fit still leaves plots (reference "
                          "diagnostics.cpp periodic plots [U])")
-    pr.add_argument("--precision", choices=("f32", "bf16"), default="f32",
-                    help="Lorentzian profile-stream arithmetic: bf16 is "
-                         "+22%% measured step throughput on TPU v5e with "
-                         "~0.4%%-quantised profile values, posterior-"
-                         "validated vs f32 on BASELINE configs 1-3 "
-                         "(tools/validate_bf16.py); accumulation stays f32")
+    pr.add_argument("--precision", choices=("f32", "bf16", "f64"),
+                    default="f32",
+                    help="f32 (default contract) | bf16: Lorentzian profile-"
+                         "stream arithmetic in bfloat16, +22%% measured step "
+                         "throughput on TPU v5e, posterior-validated vs f32 "
+                         "on BASELINE configs 1-3 (tools/validate_bf16.py) | "
+                         "f64: CPU VALIDATION mode (enable_x64, whole "
+                         "sampler double precision — the reference's "
+                         "arithmetic [U]; tools/validate_f64.py parity "
+                         "anchor), not a TPU serving mode")
     pr.add_argument("--max-rows", type=int, default=40)
     pr.set_defaults(fn=cmd_run)
 

@@ -41,7 +41,18 @@ class PhasePlan:
 
 
 def _raw_step(problem, hp, betas, adapt):
+    """step(state, key) with `betas` closed over — the static-ladder form
+    used by the sharded runners; the local runner routes through
+    _raw_step_b so betas can be a traced argument (adaptive ladder)."""
+    raw_b = _raw_step_b(problem, hp, adapt)
+
     def step(state, key):
+        return raw_b(betas, state, key)
+    return step
+
+
+def _raw_step_b(problem, hp, adapt):
+    def step(betas, state, key):
         k1, k2 = jax.random.split(key)
         state = mala_step(problem, hp, betas, state, k1, adapt=adapt)
         do_swap = (state.step % hp.dN_mixing) == 0
@@ -83,21 +94,30 @@ def make_record(state: SamplerState):
 
 
 def make_phase_runner(problem: Problem, hp: MALAHyper, betas,
-                      adapt: bool, thin: int, n_emit: int):
+                      adapt: bool, thin: int, n_emit: int,
+                      betas_as_arg: bool = False):
     """Build a jitted (state, key) -> (state, outputs) running
-    n_emit * thin raw iterations and emitting n_emit thinned records."""
-    raw = _raw_step(problem, hp, betas, adapt)
+    n_emit * thin raw iterations and emitting n_emit thinned records.
 
-    def super_step(state, key):
-        keys = jax.random.split(key, thin)
-        state, _ = jax.lax.scan(raw, state, keys)
-        return state, make_record(state)
+    betas_as_arg=True returns (betas, state, key) -> ... with the ladder a
+    TRACED argument: the adaptive-ladder path updates betas between chunks
+    on the host with zero recompiles (sampler/ladder.py)."""
+    raw = _raw_step_b(problem, hp, adapt)
 
-    def run(state, key):
+    def run(betas_t, state, key):
+        def super_step(state, key):
+            keys = jax.random.split(key, thin)
+            state, _ = jax.lax.scan(lambda s, k: raw(betas_t, s, k),
+                                    state, keys)
+            return state, make_record(state)
+
         keys = jax.random.split(key, n_emit)
         return jax.lax.scan(super_step, state, keys)
 
-    return jax.jit(run, donate_argnums=(0,))
+    jitted = jax.jit(run, donate_argnums=(1,))
+    if betas_as_arg:
+        return jitted
+    return lambda state, key: jitted(betas, state, key)
 
 
 def resolve_emit_plan(n_steps: int, thin: int, chunk: int):
@@ -123,7 +143,8 @@ def resolve_emit_plan(n_steps: int, thin: int, chunk: int):
 def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
               chunk=200, on_chunk: Optional[Callable] = None,
               on_state: Optional[Callable] = None, mesh=None,
-              already_emitted: int = 0, runner_kind: str = "gspmd"):
+              already_emitted: int = 0, runner_kind: str = "gspmd",
+              ladder: Optional[dict] = None):
     """Run one phase; returns (state, dict of stacked host outputs).
 
     on_chunk(outputs_dict) is called with device arrays after each chunk
@@ -142,6 +163,12 @@ def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
 
     already_emitted: skip this many already-emitted records (mid-phase
     resume; must be a multiple of the original run's chunk size).
+
+    ladder: mutable adaptive-ladder state shared across phases when
+    hp.adapt_ladder (sampler/ladder.py; local runner only):
+    {"betas": (T,) np.ndarray, "updates": int, "last_att": (T,),
+    "last_acc": (T,)}.  Adapting phases update it between chunks toward
+    uniform pair swap acceptance; frozen phases just USE its betas.
     """
     n_emit_total, chunk = resolve_emit_plan(n_steps, thin, chunk)
     collected = []
@@ -151,6 +178,9 @@ def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
                          "the key stream")
     remaining = n_emit_total - already_emitted
     emitted = already_emitted
+    if ladder is not None and mesh is not None:
+        raise ValueError("adaptive ladder (hp.adapt_ladder) is local-runner "
+                         "only; drop --mesh or --adapt-ladder")
     if mesh is not None:
         if runner_kind == "shardmap":
             # explicit-collective fallback (parallel/shardmap_runner.py):
@@ -164,11 +194,33 @@ def run_phase(problem, hp, betas, state, key, n_steps, adapt=True, thin=1,
             runner = make_sharded_phase_runner(problem, hp, betas, mesh,
                                                adapt, thin, chunk)
     else:
-        runner = make_phase_runner(problem, hp, betas, adapt, thin, chunk)
+        runner = make_phase_runner(problem, hp, betas, adapt, thin, chunk,
+                                   betas_as_arg=ladder is not None)
+    import numpy as np
+    cur_betas = (jnp.asarray(ladder["betas"]) if ladder is not None
+                 else None)
     while remaining > 0:
         key, sub = jax.random.split(key)
-        state, outs = runner(state, sub)
+        if ladder is not None:
+            state, outs = runner(cur_betas, state, sub)
+        else:
+            state, outs = runner(state, sub)
         emitted += chunk
+        if ladder is not None and adapt:
+            # between-chunk Vousden update toward uniform swap acceptance
+            # (sampler/ladder.py) — host-side on the tiny (T,) counters,
+            # zero recompiles (betas are a traced runner argument)
+            from tamcmc_tpu.sampler.ladder import update_ladder
+            att = np.asarray(state.nswap_att)
+            acc = np.asarray(state.nswap_acc)
+            ladder["updates"] += 1
+            new = update_ladder(ladder["betas"],
+                                att - ladder["last_att"],
+                                acc - ladder["last_acc"],
+                                ladder["updates"])
+            ladder["last_att"], ladder["last_acc"] = att, acc
+            ladder["betas"] = new
+            cur_betas = jnp.asarray(new)
         if on_chunk is not None:
             on_chunk(outs)
         if on_state is not None:

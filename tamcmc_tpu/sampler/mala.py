@@ -75,19 +75,25 @@ def init_state(problem: Problem, hp: MALAHyper, n_temps: int, n_chains: int,
     """
     Df = problem.ndim_free
     x0 = problem.extract(problem.params0)
+    # every state dtype follows the problem's parameter dtype: f32 is the
+    # contract, f64 is the CPU validation mode (Problem.astype(jnp.float64)
+    # under jax_enable_x64 — the whole carry must be one dtype or the scan
+    # would reject its own output as a mismatched carry)
+    dt = x0.dtype
     if init_scales is None:
         init_scales = default_init_scales(problem)
-    phys_scales = np.asarray(init_scales, dtype=np.float32)
+    phys_scales = np.asarray(init_scales, dtype=dt)
     if getattr(problem, "priors", None) is None:
-        u_scale = np.ones(Df, dtype=np.float32)
+        u_scale = np.ones(Df, dtype=dt)
         u_center = jnp.zeros_like(x0)
     else:
         u_scale = phys_scales
         u_center = x0
-    scales = jnp.asarray(phys_scales / u_scale, dtype=jnp.float32)  # u-space
+    scales = jnp.asarray(phys_scales / u_scale, dtype=dt)  # u-space
     u_scale = jnp.asarray(u_scale)
     k1, _ = jax.random.split(key)
-    jit_noise = jitter * scales * jax.random.normal(k1, (n_temps, n_chains, Df))
+    jit_noise = jitter * scales * jax.random.normal(k1, (n_temps, n_chains, Df),
+                                                    dtype=dt)
     theta0 = jnp.broadcast_to((x0 - u_center) / u_scale,
                               (n_temps, n_chains, Df)) + jit_noise
     # ONE jitted call: eager dispatch would run the batched model eval
@@ -102,19 +108,19 @@ def init_state(problem: Problem, hp: MALAHyper, n_temps: int, n_chains: int,
     cov0 = jnp.broadcast_to(jnp.diag(scales**2), TC + (Df, Df))
     chol0 = jnp.broadcast_to(jnp.diag(scales), TC + (Df, Df))
     ichol0 = (jnp.broadcast_to(jnp.diag(1.0 / scales), TC + (Df, Df))
-              if hp.use_drift else jnp.zeros(TC + (Df, Df), jnp.float32))
+              if hp.use_drift else jnp.zeros(TC + (Df, Df), dt))
     sigma0 = hp.sigma0_scale * 2.38 / np.sqrt(max(Df, 1))
     return SamplerState(
         theta=theta0, logL=logL, logP=logP, gradL=gL, gradP=gP,
         mu=jnp.broadcast_to((x0 - u_center) / u_scale, TC + (Df,)),
         cov=cov0, chol=chol0, ichol=ichol0,
-        log_sigma=jnp.full(TC, float(np.log(sigma0))),
+        log_sigma=jnp.full(TC, float(np.log(sigma0)), dtype=dt),
         step=jnp.asarray(0, dtype=jnp.int32),
-        naccept=jnp.zeros((n_temps,)),
-        nprop=jnp.asarray(0.0),
-        acc_rate=jnp.full(TC, hp.resolved_target()),
-        nswap_att=jnp.zeros((n_temps,)),
-        nswap_acc=jnp.zeros((n_temps,)),
+        naccept=jnp.zeros((n_temps,), dtype=dt),
+        nprop=jnp.asarray(0.0, dtype=dt),
+        acc_rate=jnp.full(TC, hp.resolved_target(), dtype=dt),
+        nswap_att=jnp.zeros((n_temps,), dtype=dt),
+        nswap_acc=jnp.zeros((n_temps,), dtype=dt),
         scales0=scales,
         u_center=u_center,
         u_scale=u_scale,

@@ -45,6 +45,23 @@ class Problem:
         assert self.priors.ndim == self.layout.ndim, \
             f"prior table has {self.priors.ndim} rows, layout {self.layout.ndim}"
 
+    def astype(self, dtype):
+        """Copy with data/parameter arrays cast to `dtype`.
+
+        The f64 validation path (`tamcmc run --precision f64`, CPU
+        enable_x64): the reference samples in double precision [U], and
+        casting (nu, spec, params0, sigma, mask) to f64 makes every
+        downstream sampler computation — model, likelihood, gradients,
+        adaptation, Cholesky — run f64 via JAX type promotion (init_state
+        derives all state dtypes from params0).  Model-closure constants
+        captured at build time (window hints, quiet-bin partial sums) stay
+        f32; they are walker-independent offsets that cancel in MH ratios."""
+        def c(a):
+            return None if a is None else jnp.asarray(a, dtype)
+        return dataclasses.replace(
+            self, nu=c(self.nu), spec=c(self.spec), params0=c(self.params0),
+            sigma_spec=c(self.sigma_spec), mask=c(self.mask))
+
     # ---- free-subspace machinery (static) ----
     @property
     def free_idx(self) -> np.ndarray:

@@ -119,6 +119,15 @@ class MALAHyper:
     dN_mixing: int = 10             # tempering swap cadence (reference name)
     lambda_temp: float = 1.4        # geometric ladder T_k = lambda^k
     acc_smooth: float = 0.02        # EMA factor for reported acceptance
+    adapt_ladder: bool = False      # Vousden et al. (2016) dynamic
+                                    # temperature selection: per-rung betas
+                                    # tuned toward uniform pair swap
+                                    # acceptance during Learning, frozen in
+                                    # Acquire (sampler/ladder.py; host-side
+                                    # between-chunk updates).  BEYOND
+                                    # REFERENCE (fixed geometric ladder
+                                    # there) — off by default; local runner
+                                    # only
     sigma_acc_estimator: str = "expected"
                                     # which acceptance estimate drives the
                                     # Robbins-Monro log-sigma update:

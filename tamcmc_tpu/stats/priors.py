@@ -130,7 +130,9 @@ class PriorTable:
         # kinds are always static (they gate the free mask / lax.switch), but
         # hypers may be a TRACED per-star batch in the aligned-grid ensemble
         # path (sampler/ensemble.py) — never force them through numpy.
-        hyp = jnp.asarray(self.hypers, dtype=jnp.float32)
+        # dtype follows params so every lax.switch branch returns one dtype
+        # (f32 contract; f64 under the --precision f64 validation mode).
+        hyp = jnp.asarray(self.hypers, dtype=params.dtype)
         per = jax.vmap(_logp_one)(codes, hyp, params)
         # clamp so several out-of-support params don't overflow to -inf*k
         return jnp.maximum(jnp.sum(per), NEG_BIG)

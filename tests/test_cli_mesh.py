@@ -70,8 +70,9 @@ class TestMeshCLI:
 def _small_chunks(orig_make):
     """Patch the demo's PhasePlan to 10-emit chunks so phases span several
     chunks (the intra-phase checkpoint cadence needs chunk boundaries)."""
-    def make(name, seed=0, ngrid=None):
-        problem, hp, plan, meta = orig_make(name, seed=seed, ngrid=ngrid)
+    def make(name, seed=0, ngrid=None, n_orders=None):
+        problem, hp, plan, meta = orig_make(name, seed=seed, ngrid=ngrid,
+                                            n_orders=n_orders)
         return problem, hp, dataclasses.replace(plan, chunk=10), meta
     return make
 

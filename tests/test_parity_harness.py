@@ -87,3 +87,45 @@ class TestGoldenConfig1:
         g = json.load(open(GOLDEN))
         assert g["provenance"]["demo"] == "single_lorentzian"
         assert set(g) >= {"names", "mean", "std", "ess", "truth"}
+
+
+GOLDEN_FLAGSHIP = pathlib.Path(__file__).parent / "golden" / \
+    "flagship_posterior.json"
+
+
+@pytest.mark.slow
+class TestGoldenFlagship:
+    """Windowed-flagship stationary-distribution anchor (round-4 VERDICT
+    weak #6): the piece-wise chi22p + segment partition + bf16 switch all
+    live on this path; a kernel/sampler change that shifts its posterior
+    must fail CI.  Fits run in subprocesses (the profile precision latches
+    at first trace and must not leak into the shared test session)."""
+
+    @pytest.mark.parametrize("precision", ["f32", "bf16"])
+    def test_flagship_matches_golden(self, precision, tmp_path):
+        import sys as _sys
+        _sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+        from golden_flagship import run_fit
+        from tamcmc_tpu.diagnostics.ess import effective_sample_size
+
+        g = json.load(open(GOLDEN_FLAGSHIP))[precision]
+        out = tmp_path / f"fit_{precision}.npz"
+        run_fit(precision,
+                dict(burnin=300, learning=1000, acquire=3000, thin=4,
+                     chunk=250), seed=7, out=str(out), platform="cpu")
+        z = np.load(out, allow_pickle=True)
+        th = z["theta"]
+        names = [str(n) for n in z["names"]]
+        flat = th.reshape(-1, th.shape[-1])
+        bad = []
+        for i, name in enumerate(g["names"]):
+            j = names.index(name)
+            ess = max(effective_sample_size(th[:, :, j]), 2.0)
+            se = np.sqrt(flat[:, j].std(ddof=1) ** 2 / ess
+                         + g["std"][i] ** 2 / g["ess"][i])
+            zstat = abs(flat[:, j].mean() - g["mean"][i]) / max(se, 1e-300)
+            ratio = flat[:, j].std(ddof=1) / max(g["std"][i], 1e-300)
+            if zstat >= 4.0 or not (1 / 1.6 < ratio < 1.6):
+                bad.append((name, round(zstat, 2), round(ratio, 2)))
+        # ~26 params at z~4: allow 1 marginal (multiple testing), no more
+        assert len(bad) <= 1, bad
