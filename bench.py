@@ -330,7 +330,11 @@ def main():
                            ("shardmap", make_shardmap_phase_runner)):
             log(f"measuring mesh-1x1 {kind} ratio")
             runner = make(problem, hp, betas, mesh1, False, thin, n_emit)
-            st = shard_state(state, mesh1)
+            # deep-copy first: device_put onto the same single device is a
+            # no-copy alias, and the runner's donation would delete the
+            # shared buffer out from under `state`
+            st = shard_state(jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                          state), mesh1)
             key, sub = jax.random.split(key)
             st, _ = runner(st, sub)             # compile + settle
             float(np.asarray(st.logL)[0, 0])    # fetch-sync (round-4 lesson)
