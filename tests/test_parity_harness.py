@@ -124,8 +124,16 @@ class TestGoldenFlagship:
             se = np.sqrt(flat[:, j].std(ddof=1) ** 2 / ess
                          + g["std"][i] ** 2 / g["ess"][i])
             zstat = abs(flat[:, j].mean() - g["mean"][i]) / max(se, 1e-300)
+            # the std comparison must also be ESS-aware: Var[s]/s^2 ~
+            # 1/(2*ESS) per side, so the log-ratio band is +-4 combined
+            # sigmas (a fixed 1.6x band false-failed on golden params with
+            # ESS~10 before the anchor was strengthened)
             ratio = flat[:, j].std(ddof=1) / max(g["std"][i], 1e-300)
-            if zstat >= 4.0 or not (1 / 1.6 < ratio < 1.6):
-                bad.append((name, round(zstat, 2), round(ratio, 2)))
+            band = np.exp(4.0 * np.sqrt(1 / (2 * ess)
+                                        + 1 / (2 * g["ess"][i])))
+            band = max(band, 1.3)      # floor: never tighter than +-30%
+            if zstat >= 4.0 or not (1 / band < ratio < band):
+                bad.append((name, round(zstat, 2), round(ratio, 2),
+                            round(band, 2)))
         # ~26 params at z~4: allow 1 marginal (multiple testing), no more
         assert len(bad) <= 1, bad

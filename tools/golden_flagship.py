@@ -31,7 +31,7 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 GOLDEN = ROOT / "tests" / "golden" / "flagship_posterior.json"
 
 DEMO_KW = {"ngrid": 6000, "n_orders": 4}
-T, C = 4, 8
+T, C = 4, 16
 
 FIT_SNIPPET = """
 import os, sys, numpy as np
@@ -79,7 +79,7 @@ def run_fit(precision, plan_kw, seed, out, platform=None):
 
 def generate():
     import numpy as np
-    plan_kw = dict(burnin=500, learning=2000, acquire=12000, thin=4,
+    plan_kw = dict(burnin=500, learning=3000, acquire=24000, thin=4,
                    chunk=500)
     doc = {"provenance": {
         "demo": "ms_global", "demo_kw": DEMO_KW, "temps": T, "chains": C,
