@@ -23,7 +23,13 @@ from tamcmc_tpu.diagnostics.ess import effective_sample_size
 
 
 def _moments(samples: np.ndarray):
-    """samples: (N, D) or (E, C, D) -> per-param dict arrays."""
+    """samples: (N, D) or (E, C, D) -> per-param dict arrays.
+
+    Cast to f64 first: an axis-0 mean over a C-contiguous f32 array
+    accumulates sequentially (not pairwise) and biases O(2000)-scale
+    parameter means by up to ~ulp(sum)/2 ~ O(1) — far outside the
+    MC-error resolution this harness judges at (round-5 diagnosis)."""
+    samples = np.asarray(samples, dtype=np.float64)
     if samples.ndim == 3:
         per_walker = samples
         flat = samples.reshape(-1, samples.shape[-1])

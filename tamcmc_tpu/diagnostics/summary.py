@@ -17,7 +17,11 @@ from tamcmc_tpu.diagnostics.ess import (effective_sample_size, autocorr_time,
 def posterior_summary(samples: np.ndarray, names=None,
                       quantiles=(0.025, 0.16, 0.5, 0.84, 0.975)):
     """samples: (N, D) flat posterior draws (walkers already flattened) or
-    (E, C, D).  Returns list of per-parameter dicts."""
+    (E, C, D).  Returns list of per-parameter dicts.
+
+    f64 cast first — f32 axis reductions accumulate sequentially and bias
+    large-scale means (see diagnostics/ess.py autocorr_time docstring)."""
+    samples = np.asarray(samples, dtype=np.float64)
     if samples.ndim == 3:
         E, C, D = samples.shape
         per_walker = samples            # (E, C, D) for ESS

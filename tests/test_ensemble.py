@@ -172,8 +172,9 @@ class TestStackedResume:
         from tamcmc_tpu import demos
         orig = demos.make_demo
 
-        def small(name, seed=0, ngrid=None):
-            p, hp, plan, meta = orig(name, seed=seed, ngrid=ngrid)
+        def small(name, seed=0, ngrid=None, n_orders=None):
+            p, hp, plan, meta = orig(name, seed=seed, ngrid=ngrid,
+                                     n_orders=n_orders)
             return p, hp, dataclasses.replace(plan, chunk=10), meta
         monkeypatch.setattr(demos, "make_demo", small)
 

@@ -94,7 +94,12 @@ def generate():
         print(f"generating {precision} golden (long run)...", flush=True)
         run_fit(precision, plan_kw, seed=0, out=out)
         z = np.load(out, allow_pickle=True)
-        th = z["theta"].reshape(-1, z["theta"].shape[-1])
+        # f64 BEFORE the axis-0 reductions: f32 accumulation over the
+        # 96000-row flat array biased frequency means by ~1.7 uHz (2
+        # posterior sigma) and inflated stds 2.2x in this golden's first
+        # generation — the bug behind the round-5 f64-cast fixes across
+        # diagnostics/ (means measured 2301.93-f32 vs 2300.26-f64)
+        th = z["theta"].astype(np.float64).reshape(-1, z["theta"].shape[-1])
         doc[precision] = {
             "names": [str(n) for n in z["names"]],
             "mean": th.mean(axis=0).tolist(),
