@@ -117,3 +117,13 @@ class TestLadderCLI:
         events = [json.loads(l) for l in open(out / "metrics.jsonl")]
         lf = [e for e in events if e["event"] == "ladder_final"]
         assert lf and lf[0]["updates"] > 0
+        # the evidence tool must integrate over the FINAL (frozen) ladder
+        # the acquire chains were actually sampled at — betas.npy is
+        # rewritten after the fit precisely for this consumer
+        from tamcmc_tpu.cli import main as cli_main2
+        cli_main2(["evidence", "--outdir", str(out),
+                   "--json", str(out / "evidence.json")])
+        ev = json.load(open(out / "evidence.json"))
+        assert np.isfinite(ev["logZ"])
+        np.testing.assert_allclose(sorted(ev["betas_sorted"]),
+                                   sorted(final.tolist()), rtol=1e-5)
