@@ -104,3 +104,48 @@ class TestCrashStorm:
                     za[k], zb[k], err_msg=f"{phase}_chains[{k}]")
         # periodic in-run diagnostics were exercised along the way
         assert (storm / "inrun").exists(), "report-every never fired"
+
+    def test_adapt_ladder_crash_resume_bitwise(self, tmp_path):
+        """The adaptive ladder's state (betas, update count, counter
+        snapshots) rides the checkpoint meta: a killed --adapt-ladder fit
+        must resume to a bitwise-identical posterior AND final ladder."""
+        flags = ["run", "--demo", "single_lorentzian", "--temps", "4",
+                 "--chains", "4", "--burnin", "200", "--learning", "600",
+                 "--acquire", "800", "--thin", "4", "--chunk", "25",
+                 "--ckpt-every", "2", "--dn-mixing", "2", "--adapt-ladder",
+                 "--no-report"]
+
+        def run(outdir, resume, timeout=None):
+            cmd = [sys.executable, "-m", "tamcmc_tpu.cli"] + flags + \
+                ["--outdir", str(outdir)] + (["--resume"] if resume else [])
+            p = subprocess.Popen(cmd, cwd=ROOT, env=_env(),
+                                 stdout=subprocess.PIPE,
+                                 stderr=subprocess.STDOUT, text=True)
+            if timeout is None:
+                out = p.communicate(timeout=1200)[0]
+                return p.returncode, out
+            try:
+                p.communicate(timeout=timeout)
+                return p.returncode, "completed-before-kill"
+            except subprocess.TimeoutExpired:
+                p.send_signal(signal.SIGKILL)
+                p.wait()
+                return None, "killed"
+
+        t0 = time.time()
+        rc, out = run(tmp_path / "clean", resume=False)   # + cache warm
+        t_clean = time.time() - t0
+        assert rc == 0, out[-2000:]
+        # kill mid-run (after startup, before completion), then resume
+        rc, status = run(tmp_path / "storm", resume=False,
+                         timeout=max(8.0, 0.5 * t_clean))
+        if status == "killed":
+            rc, out = run(tmp_path / "storm", resume=True)
+            assert rc == 0, out[-2000:]
+        for phase in ("B", "L", "A"):
+            a = (tmp_path / "storm" / f"{phase}_samples.bin").read_bytes()
+            b = (tmp_path / "clean" / f"{phase}_samples.bin").read_bytes()
+            assert a == b, f"phase {phase} differs after ladder resume"
+        np.testing.assert_array_equal(
+            np.load(tmp_path / "storm" / "betas.npy"),
+            np.load(tmp_path / "clean" / "betas.npy"))
