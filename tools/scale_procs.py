@@ -37,8 +37,12 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 T, C = 8, 8
 THIN, EMIT, REPS = 5, 20, 3
-LAYOUTS = ((8, 1), (2, 4))
-RUNNERS = ("gspmd", "shardmap")
+# SCALE_LAYOUTS / SCALE_RUNNERS trim the matrix (the slow-suite guard
+# runs one combo to stay inside its budget; the full default matrix is
+# the BASELINE.md round-5 record)
+LAYOUTS = tuple(tuple(int(v) for v in x.split("x")) for x in
+                os.environ.get("SCALE_LAYOUTS", "8x1,2x4").split(","))
+RUNNERS = tuple(os.environ.get("SCALE_RUNNERS", "gspmd,shardmap").split(","))
 
 
 # --------------------------------------------------------------------------
